@@ -1,0 +1,14 @@
+"""Test config: force an 8-device CPU mesh so all sharding/collective code
+paths (DP mesh, all_gather queue updates, psum'd metrics) are unit-testable
+without TPU hardware — the deterministic fake of the distributed axis that
+the reference never had (SURVEY.md §4)."""
+import os
+import sys
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
