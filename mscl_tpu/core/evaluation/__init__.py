@@ -1,0 +1,7 @@
+from .accuracy import (confusion_matrix, mean_average_precision,
+                       mean_class_accuracy, mmit_mean_average_precision,
+                       per_class_accuracy, top_k_accuracy)
+
+__all__ = ['confusion_matrix', 'mean_average_precision',
+           'mean_class_accuracy', 'mmit_mean_average_precision',
+           'per_class_accuracy', 'top_k_accuracy']

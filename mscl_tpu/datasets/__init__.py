@@ -1,0 +1,15 @@
+from .base import BaseDataset
+from .builder import (BLENDINGS, DATASETS, PIPELINES, build_dataloader,
+                      build_dataset)
+from .dataset_wrappers import ConcatDataset, RepeatDataset
+from .file_dataset import FileRawframe2BranchDataset, FileRawframeDataset
+from .loader import NumpyLoader, default_collate
+from .rawframe_dataset import RawframeDataset, VideoDataset
+from . import pipelines  # noqa: F401  (registers all transforms)
+
+__all__ = [
+    'BaseDataset', 'DATASETS', 'PIPELINES', 'BLENDINGS', 'build_dataset',
+    'build_dataloader', 'RawframeDataset', 'VideoDataset',
+    'FileRawframeDataset', 'FileRawframe2BranchDataset', 'NumpyLoader',
+    'default_collate', 'RepeatDataset', 'ConcatDataset',
+]

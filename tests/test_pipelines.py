@@ -1,0 +1,310 @@
+"""Pipeline transform tests — mirror the reference math on synthetic
+results dicts (reference test style: tests/test_data/test_pipelines/*)."""
+import numpy as np
+import pytest
+
+from mscl_tpu.datasets.builder import PIPELINES
+from mscl_tpu.datasets.pipelines import (
+    CenterCrop, ChosenSampleFrames, Collect, Compose, Flip, FormatShape,
+    MatchFlow, MoCoNormalize, MoCoRandomResizedCrop, MoCoResize, Normalize,
+    NormFlowWithStidedAug, RandomResizedCrop, Resize, SampleFrames, Seg2T,
+    TemporalShiftChosenSampleFrames, ToTensor, norm_flow)
+from mscl_tpu.utils.flow_viz import flow_to_image
+
+
+def make_imgs(n, h=32, w=48, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            .astype(np.uint8) for _ in range(n)]
+
+
+class TestSampleFrames:
+
+    def test_train_basic(self):
+        np.random.seed(0)
+        results = dict(total_frames=64, start_index=0)
+        t = SampleFrames(clip_len=8, frame_interval=2, num_clips=1)
+        out = t(results)
+        assert out['frame_inds'].shape == (8,)
+        assert out['clip_len'] == 8 and out['num_clips'] == 1
+        # consecutive stride-2 window
+        diffs = np.diff(out['frame_inds'])
+        assert np.all(diffs == 2)
+        assert out['frame_inds'].max() < 64
+
+    def test_test_mode_deterministic(self):
+        results = dict(total_frames=100, start_index=0)
+        t = SampleFrames(clip_len=1, frame_interval=1, num_clips=16,
+                         test_mode=True)
+        out1 = t(dict(results))
+        out2 = t(dict(results))
+        assert np.array_equal(out1['frame_inds'], out2['frame_inds'])
+        assert len(out1['frame_inds']) == 16
+
+    def test_short_video_loops(self):
+        np.random.seed(0)
+        results = dict(total_frames=5, start_index=0)
+        t = SampleFrames(clip_len=8, frame_interval=2, num_clips=1)
+        out = t(results)
+        assert out['frame_inds'].max() < 5  # looped into range
+
+
+class TestMDS:
+
+    def test_chosen_sample_frames_lands_in_chosen(self):
+        np.random.seed(3)
+        chosen = [4, 12, 20]
+        t = ChosenSampleFrames(clip_len=4, frame_interval=1, num_clips=1)
+        for _ in range(20):
+            results = dict(total_frames=40, start_index=0,
+                           chosen_idx=list(chosen))
+            out = t(results)
+            # after <=10 rejection attempts offset is in chosen or falls
+            # back to chosen[0]
+            assert out['frame_inds'][0] in chosen
+
+    def test_chosen_fallback_empty(self):
+        np.random.seed(0)
+        t = ChosenSampleFrames(clip_len=4, frame_interval=1, num_clips=1)
+        results = dict(total_frames=40, start_index=0, chosen_idx=[])
+        out = t(results)
+        assert out['frame_inds'][0] == 0
+
+    def test_temporal_shift_pair(self):
+        np.random.seed(5)
+        chosen = [0, 8, 16, 24]
+        t = TemporalShiftChosenSampleFrames(
+            clip_len=8, frame_interval=1, num_clips=1, shift_range=1)
+        results = dict(total_frames=64, start_index=0,
+                       chosen_idx=list(chosen))
+        out = t(results)
+        assert out['num_clips'] == 2
+        assert len(out['frame_inds']) == 16
+        q_start = out['frame_inds'][0]
+        k_start = out['frame_inds'][8]
+        assert q_start in chosen
+        assert k_start in chosen  # snapped to nearest chosen
+        # shift bounded by shift_range*clip_len*frame_interval + snap dist
+        assert abs(int(k_start) - int(q_start)) <= 8 + 24
+
+
+class TestMatchFlow:
+
+    def test_geometry(self):
+        # 24 frames, gap=2 adjacent=8 -> (24-8)//2 = 8 flow-aligned frames
+        paths = [f'f{i}.jpg' for i in range(24)]
+        flows = [f'fl{i}.np4' for i in range(8)]
+        results = dict(img_paths=paths, flow_paths=flows)
+        t = MatchFlow(gap=2, adjacent=8, flow_key='nids_flow')
+        out = t(results)
+        assert out['total_frames'] == 8
+        assert out['img_paths'] == [paths[i] for i in range(0, 16, 2)]
+
+
+class TestFRA:
+
+    def test_norm_flow_unit_radius(self):
+        rng = np.random.default_rng(0)
+        flow = rng.normal(size=(8, 8, 2)).astype(np.float32) * 5
+        normed = norm_flow(flow)
+        rad = np.sqrt((normed ** 2).sum(-1))
+        assert rad.max() <= 1.0 + 1e-5
+        # direction preserved
+        ratio = normed[..., 0] / (flow[..., 0] + 1e-12)
+        assert np.allclose(ratio, ratio.flat[0], rtol=1e-3)
+
+    def test_strided_aug_rotation_exact(self):
+        np.random.seed(1)
+        flow = np.zeros((4, 4, 2), dtype=np.float64)
+        flow[..., 0] = 1.0  # unit flow pointing +u
+        t = NormFlowWithStidedAug(ratios=(0.2, 1.8), num_chunks=8,
+                                  merge_aug=True)
+        results = dict(flows=[flow.copy()])
+        out = t(results)
+        assert len(out['flow_imgs']) == 2  # base + rotated
+        cid = out['ap_labels']
+        assert 0 <= cid < 8
+        beta = (0.2 + 0.2 * cid) * np.pi
+        rotated = out['flow_imgs'][1]
+        # base flow normalized to unit radius; rotated must match
+        # (cos b, sin b) / (1 + eps)
+        expect_u = np.cos(beta) / (1 + 1e-5)
+        expect_v = np.sin(beta) / (1 + 1e-5)
+        assert np.allclose(rotated[..., 0], expect_u, atol=1e-6)
+        assert np.allclose(rotated[..., 1], expect_v, atol=1e-6)
+        assert 'flows' not in out
+
+    def test_merge_false(self):
+        np.random.seed(2)
+        flow = np.random.randn(4, 4, 2)
+        t = NormFlowWithStidedAug(ratios=(0.2, 1.8), num_chunks=8,
+                                  merge_aug=False)
+        out = t(dict(flows=[flow]))
+        assert len(out['flow_imgs']) == 1
+        assert len(out['rotated_flow_imgs']) == 1
+
+
+class TestFlowViz:
+
+    def test_flow_to_image_shape_and_known_colors(self):
+        flow = np.zeros((4, 4, 2), dtype=np.float32)
+        img = flow_to_image(flow)
+        assert img.shape == (4, 4, 3) and img.dtype == np.uint8
+        # zero flow -> radius 0 -> white (255)
+        assert np.all(img == 255)
+
+    def test_directional_colors_differ(self):
+        f1 = np.zeros((2, 2, 2), np.float32)
+        f1[..., 0] = 1
+        f2 = np.zeros((2, 2, 2), np.float32)
+        f2[..., 1] = 1
+        assert not np.array_equal(flow_to_image(f1), flow_to_image(f2))
+
+
+class TestMoCoCrop:
+
+    def _results(self):
+        return dict(
+            imgs=make_imgs(16, 64, 96),
+            flow_imgs=[np.random.default_rng(7).normal(
+                size=(32, 48, 2)).astype(np.float32) for _ in range(16)],
+            img_shape=(64, 96),
+            clip_len=8, num_clips=2)
+
+    def test_paired_crop_splits_and_scales_flow(self):
+        np.random.seed(0)
+        t = MoCoRandomResizedCrop(area_range=(0.2, 1.0),
+                                  flow_key='flow_imgs')
+        out = t(self._results())
+        assert 'imgs_q' in out and 'imgs_k' in out
+        assert len(out['imgs_q']) == 8 and len(out['imgs_k']) == 8
+        assert len(out['flow_imgs_q']) == 8
+        # flow crop is the image crop at half resolution
+        l, tp, r, b = out['crop_bbox_q']
+        fh, fw = out['flow_imgs_q'][0].shape[:2]
+        assert fh == int(round(b * 0.5)) - int(round(tp * 0.5))
+        assert fw == int(round(r * 0.5)) - int(round(l * 0.5))
+
+    def test_resize_and_normalize_chain(self):
+        np.random.seed(0)
+        results = self._results()
+        chain = Compose([
+            MoCoRandomResizedCrop(area_range=(0.2, 1.0),
+                                  flow_key='flow_imgs'),
+            MoCoResize(scale=(32, 32), keep_ratio=False,
+                       flow_key='flow_imgs', suffix='_q'),
+            MoCoResize(scale=(32, 32), keep_ratio=False,
+                       flow_key='flow_imgs', suffix='_k'),
+            MoCoNormalize(ori_flow=True),
+        ])
+        out = chain(results)
+        assert isinstance(out['imgs'], list) and len(out['imgs']) == 2
+        # CTHW, /255
+        assert out['imgs'][0].shape == (3, 8, 32, 32)
+        assert out['imgs'][0].max() <= 1.0
+        assert out['flow_imgs'][0].shape == (2, 8, 32, 32)
+        # ori_flow=True: flow NOT divided by 255 (raw normalized flow)
+        assert out['flow_imgs'][0].min() < 0 or \
+            out['flow_imgs'][0].max() > 1.0 / 255
+
+
+class TestBasicAugs:
+
+    def test_resize_keep_ratio(self):
+        results = dict(imgs=make_imgs(2, 32, 64), img_shape=(32, 64),
+                       modality='RGB')
+        # short edge -> 128, aspect preserved (mmcv.rescale_size semantics)
+        out = Resize(scale=(-1, 128))(results)
+        assert out['img_shape'] == (128, 256)
+        assert out['imgs'][0].shape == (128, 256, 3)
+
+    def test_resize_fixed(self):
+        results = dict(imgs=make_imgs(2, 32, 64), img_shape=(32, 64),
+                       modality='RGB')
+        out = Resize(scale=(112, 112), keep_ratio=False)(results)
+        assert out['imgs'][0].shape == (112, 112, 3)
+
+    def test_center_crop(self):
+        results = dict(imgs=make_imgs(2, 64, 64), img_shape=(64, 64),
+                       modality='RGB')
+        out = CenterCrop(crop_size=32)(results)
+        assert out['img_shape'] == (32, 32)
+        assert list(out['crop_bbox']) == [16, 16, 48, 48]
+
+    def test_random_resized_crop_range(self):
+        np.random.seed(0)
+        for _ in range(10):
+            results = dict(imgs=make_imgs(1, 64, 64), img_shape=(64, 64),
+                           modality='RGB')
+            out = RandomResizedCrop(area_range=(0.25, 1.0))(results)
+            h, w = out['img_shape']
+            assert h * w >= 0.2 * 64 * 64 * 0.7  # loose lower bound
+
+    def test_flip_flow_modality_inverts_x(self):
+        np.random.seed(0)
+        imgs = [np.full((4, 4), 10, np.uint8), np.full((4, 4), 20, np.uint8)]
+        results = dict(imgs=imgs, img_shape=(4, 4), modality='Flow')
+        out = Flip(flip_ratio=1.0)(results)
+        assert np.all(out['imgs'][0] == 245)  # x-flow inverted
+        assert np.all(out['imgs'][1] == 20)   # y-flow not
+
+    def test_normalize_rgb(self):
+        results = dict(imgs=make_imgs(2, 8, 8), modality='RGB',
+                       img_shape=(8, 8))
+        mean = [123.675, 116.28, 103.53]
+        std = [58.395, 57.12, 57.375]
+        out = Normalize(mean=mean, std=std)(results)
+        assert out['imgs'].dtype == np.float32
+        assert abs(out['imgs'].mean()) < 3
+
+
+class TestFormatting:
+
+    def test_seg2t(self):
+        imgs = np.random.rand(16, 8, 8, 3).astype(np.float32)
+        results = dict(imgs=imgs, num_clips=16, clip_len=1)
+        out = Seg2T()(results)
+        # leading dim = N_crops (reference loading_mscl.py:95-97)
+        assert out['imgs'].shape == (1, 3, 16, 8, 8)
+        assert out['clip_len'] == 16 and out['num_clips'] == 1
+
+    def test_format_shape_ncthw(self):
+        imgs = np.random.rand(8, 4, 4, 3).astype(np.float32)
+        results = dict(imgs=imgs, num_clips=1, clip_len=8)
+        out = FormatShape('NCTHW')(results)
+        assert out['imgs'].shape == (1, 3, 8, 4, 4)
+
+    def test_format_shape_nthwc(self):
+        imgs = np.random.rand(8, 4, 4, 3).astype(np.float32)
+        results = dict(imgs=imgs, num_clips=1, clip_len=8)
+        out = FormatShape('NTHWC')(results)
+        assert out['imgs'].shape == (1, 8, 4, 4, 3)
+
+    def test_collect_and_totensor(self):
+        results = dict(imgs=np.zeros((2, 2)), label=3, junk='x')
+        out = Collect(keys=['imgs', 'label'], meta_keys=[])(results)
+        assert set(out) == {'imgs', 'label'}
+        out = ToTensor(keys=['imgs', 'label'])(out)
+        assert out['label'].dtype == np.int64
+
+    def test_totensor_batched(self):
+        results = dict(imgs=[np.zeros((2, 2)), np.ones((2, 2))])
+        out = ToTensor(keys=['imgs'], batched=True)(results)
+        assert isinstance(out['imgs'], list) and len(out['imgs']) == 2
+
+
+class TestRegistryCompleteness:
+
+    def test_mscl_train_pipeline_builds(self):
+        """The headline config's pipeline types all resolve
+        (mscl_r18_cosm_lr2e-2.py:66-77)."""
+        for t in ['MatchFlow', 'TemporalShiftChosenSampleFrames',
+                  'NoriDecode', 'NormFlowWithStidedAug',
+                  'MoCoRandomResizedCrop', 'MoCoResize', 'MoCoNormalize',
+                  'Collect', 'ToTensor']:
+            assert t in PIPELINES, f'{t} missing from PIPELINES'
+
+    def test_finetune_pipeline_builds(self):
+        for t in ['SampleFrames', 'Resize', 'RandomResizedCrop',
+                  'Normalize', 'Seg2T', 'CenterCrop']:
+            assert t in PIPELINES, f'{t} missing from PIPELINES'
