@@ -1,0 +1,84 @@
+"""Checkpoint save/load/resume.
+
+Parity: mmcv CheckpointHook writes epoch_N.pth with model + optimizer +
+meta (reference tools/train.py:180-185, apis/train.py:162-168 resume).
+Here checkpoints are msgpack-serialized pytrees (flax.serialization) under
+work_dir/epoch_N.ckpt plus a 'latest' pointer; everything in TrainState —
+including the MoCo queue AND the momentum iteration counter — persists, so
+resume is exact (the reference's `self.iters` silently reset on resume,
+SURVEY §5; fixed here by making it state).
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(state_dict: Dict[str, Any], work_dir: str,
+                    epoch: int, meta: Optional[Dict] = None) -> str:
+    os.makedirs(work_dir, exist_ok=True)
+    path = osp.join(work_dir, f'epoch_{epoch}.ckpt')
+    host_state = jax.device_get(state_dict)
+    with open(path, 'wb') as f:
+        f.write(serialization.msgpack_serialize(
+            _to_serializable(host_state)))
+    meta = dict(meta or {}, epoch=epoch)
+    with open(path + '.meta.json', 'w') as f:
+        json.dump(meta, f)
+    with open(osp.join(work_dir, 'latest'), 'w') as f:
+        f.write(f'epoch_{epoch}.ckpt')
+    return path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    if osp.isdir(path):
+        with open(osp.join(path, 'latest')) as f:
+            path = osp.join(path, f.read().strip())
+    with open(path, 'rb') as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def load_meta(path: str) -> Dict[str, Any]:
+    meta_path = path + '.meta.json'
+    if osp.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
+def latest_checkpoint(work_dir: str) -> Optional[str]:
+    latest = osp.join(work_dir, 'latest')
+    if not osp.exists(latest):
+        return None
+    with open(latest) as f:
+        return osp.join(work_dir, f.read().strip())
+
+
+def _to_serializable(tree):
+    def conv(x):
+        if isinstance(x, (np.ndarray, np.generic)):
+            return x
+        if hasattr(x, 'dtype') and hasattr(x, 'shape'):
+            return np.asarray(x)
+        return x
+    return jax.tree.map(conv, tree)
+
+
+def publish_model(in_path: str, out_path: str) -> str:
+    """Strip optimizer state and append a content hash
+    (parity: tools/deployment/publish_model.py)."""
+    import hashlib
+    state = load_checkpoint(in_path)
+    state.pop('opt_state', None)
+    blob = serialization.msgpack_serialize(_to_serializable(state))
+    sha = hashlib.sha256(blob).hexdigest()[:8]
+    final = out_path.replace('.ckpt', f'-{sha}.ckpt')
+    with open(final, 'wb') as f:
+        f.write(blob)
+    return final

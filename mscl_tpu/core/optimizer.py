@@ -1,0 +1,76 @@
+"""Optimizer construction with torch-SGD semantics.
+
+Parity: reference configs — SGD(momentum=0.9, weight_decay) + grad-clip
+(optimizer_config grad_clip max_norm, reference apis/train.py:107-114).
+Update order matches torch: clip grads -> add wd*param -> momentum trace
+-> -lr. Parameter subtrees matching ``freeze_patterns`` get zero updates —
+the TPU equivalent of requires_grad=False for the MoCo key encoders
+(reference moco.py:107-114 copies q->k and sets requires_grad False; here
+the k-tower is excluded from the optimizer and overwritten by the EMA in
+the train step).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import optax
+
+
+def _path_str(path) -> str:
+    return '/'.join(getattr(k, 'key', str(k)) for k in path)
+
+
+def make_freeze_mask(params, freeze_patterns: Sequence[str]):
+    """True = trainable. A leaf is frozen if any pattern appears in its
+    '/'-joined path."""
+    def trainable(path, _):
+        p = _path_str(path)
+        return not any(pat in p for pat in freeze_patterns)
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def build_optimizer(optimizer_cfg: Dict,
+                    lr_schedule: Callable,
+                    grad_clip: Optional[Dict] = None,
+                    freeze_patterns: Sequence[str] = ()):
+    """Returns an optax GradientTransformation.
+
+    optimizer_cfg: dict(type='SGD', lr=..., momentum=..., weight_decay=...)
+    grad_clip: dict(max_norm=..., norm_type=2) or None
+    """
+    cfg = dict(optimizer_cfg)
+    opt_type = cfg.pop('type', 'SGD')
+    cfg.pop('lr', None)  # schedule supplies lr
+    chain = []
+    if grad_clip:
+        assert grad_clip.get('norm_type', 2) == 2, 'only L2 clip supported'
+        chain.append(optax.clip_by_global_norm(grad_clip['max_norm']))
+    if opt_type in ('SGD', 'CopyOfSGD'):
+        wd = cfg.pop('weight_decay', 0.0)
+        momentum = cfg.pop('momentum', 0.0)
+        nesterov = cfg.pop('nesterov', False)
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        if momentum:
+            chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+    elif opt_type in ('Adam', 'AdamW'):
+        wd = cfg.pop('weight_decay', 0.0)
+        betas = cfg.pop('betas', (0.9, 0.999))
+        eps = cfg.pop('eps', 1e-8)
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+    else:
+        raise NotImplementedError(f'optimizer {opt_type}')
+    chain.append(optax.scale_by_learning_rate(lr_schedule))
+    tx = optax.chain(*chain)
+    if freeze_patterns:
+        def label_fn(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: 'frozen' if any(
+                    pat in _path_str(path) for pat in freeze_patterns)
+                else 'train', params)
+        tx = optax.multi_transform(
+            {'train': tx, 'frozen': optax.set_to_zero()}, label_fn)
+    return tx

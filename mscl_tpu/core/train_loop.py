@@ -1,0 +1,231 @@
+"""Functional train step + epoch runner.
+
+TPU-native replacement for mmcv EpochBasedRunner + hooks (reference
+apis/train.py:18-238): one pure jitted train step over a DP mesh
+(state replicated, batch sharded), an epoch loop with text/json logging,
+checkpointing, LR schedule and eval hooks as plain code instead of a hook
+registry. The whole TrainState (params, BN stats, MoCo queue, momentum
+iter counter, optimizer state, RNG) is an explicit pytree — checkpoints
+capture everything and resume is exact.
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..parallel.mesh import batch_sharding, create_mesh, replicated, \
+    shard_batch
+from .checkpoint import latest_checkpoint, load_checkpoint, load_meta, \
+    save_checkpoint
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    moco_state: Any          # {} for plain classifiers
+    opt_state: Any
+    rng: Any
+
+
+def init_state(model, tx, example_batch, rng=None, method='train_step'
+               ) -> TrainState:
+    """Initialize model variables from an example batch and wrap in
+    TrainState."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(
+        {'params': init_rng, 'dropout': init_rng, 'moco': init_rng},
+        example_batch, method=method)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    moco_state = variables.get('moco_state', {})
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, moco_state=moco_state,
+                      opt_state=opt_state, rng=state_rng)
+
+
+def make_train_step(model, tx,
+                    post_update_fn: Optional[Callable] = None,
+                    method: str = 'train_step',
+                    update: bool = True) -> Callable:
+    """Build the pure (state, batch) -> (state, log_vars) step.
+
+    post_update_fn(params, moco_state, step) -> params runs after the
+    optimizer update — the MoCo EMA key-encoder copy lives there.
+    """
+
+    def train_step(state: TrainState, batch) -> tuple:
+        rng, dropout_rng, moco_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            variables = {'params': params,
+                         'batch_stats': state.batch_stats,
+                         'moco_state': state.moco_state}
+            (loss, log_vars), new_vars = model.apply(
+                variables, batch, method=method,
+                mutable=['batch_stats', 'moco_state'],
+                rngs={'dropout': dropout_rng, 'moco': moco_rng})
+            return loss, (log_vars, new_vars)
+
+        if update:
+            grads, (log_vars, new_vars) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            params = optax.apply_updates(state.params, updates)
+            if post_update_fn is not None:
+                params = post_update_fn(params,
+                                        new_vars.get('moco_state', {}),
+                                        state.step)
+            state = state.replace(
+                step=state.step + 1,
+                params=params,
+                batch_stats=new_vars.get('batch_stats',
+                                         state.batch_stats),
+                moco_state=new_vars.get('moco_state', state.moco_state),
+                opt_state=new_opt_state,
+                rng=rng)
+        else:
+            # validation-by-loss: run the same computation, no update
+            # (SimpleDistEvalHook, reference eval_hooks.py:417-529)
+            _, (log_vars, _) = loss_fn(state.params)
+            state = state.replace(rng=rng)
+        return state, log_vars
+
+    return train_step
+
+
+class Runner:
+    """Epoch-based training driver (reference EpochBasedRunner + hooks)."""
+
+    def __init__(self, model, tx, train_loader, cfg, work_dir,
+                 val_loader=None, val_dataset=None,
+                 post_update_fn=None, mesh=None,
+                 lr_schedule=None, eval_fn=None):
+        self.model = model
+        self.tx = tx
+        self.train_loader = train_loader
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.val_loader = val_loader
+        self.val_dataset = val_dataset
+        self.lr_schedule = lr_schedule
+        self.eval_fn = eval_fn
+        self.mesh = mesh or create_mesh()
+
+        self.total_epochs = cfg.get('total_epochs', 1)
+        self.log_interval = cfg.get('log_config', {}).get('interval', 20)
+        self.ckpt_interval = cfg.get('checkpoint_config', {}).get(
+            'interval', 1)
+        eval_cfg = cfg.get('evaluation', {}) or {}
+        self.eval_interval = eval_cfg.get('interval', 0)
+        self.eval_simple = eval_cfg.get('simple', False)
+        self.eval_metrics = eval_cfg.get(
+            'metrics', ['top_k_accuracy'])
+
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        self._train_step = jax.jit(
+            make_train_step(model, tx, post_update_fn),
+            donate_argnums=0)
+        self._val_step = jax.jit(
+            make_train_step(model, tx, post_update_fn, update=False))
+        os.makedirs(work_dir, exist_ok=True)
+        self.log_file = osp.join(work_dir, 'log.json')
+        self.epoch = 0
+
+    def log(self, record: Dict):
+        record = {k: (float(v) if hasattr(v, 'dtype') or
+                      isinstance(v, (int, float, np.generic)) else v)
+                  for k, v in record.items()}
+        line = json.dumps(record)
+        print(line, flush=True)
+        with open(self.log_file, 'a') as f:
+            f.write(line + '\n')
+
+    def resume(self, state: TrainState, path: Optional[str] = None
+               ) -> TrainState:
+        path = path or latest_checkpoint(self.work_dir)
+        if path is None:
+            return state
+        ckpt = load_checkpoint(path)
+        from flax import serialization
+        state = serialization.from_state_dict(state, ckpt)
+        self.epoch = load_meta(path).get('epoch', 0)
+        print(f'resumed from {path} at epoch {self.epoch}')
+        return state
+
+    def run(self, state: TrainState) -> TrainState:
+        while self.epoch < self.total_epochs:
+            state = self.train_epoch(state)
+            self.epoch += 1
+            if self.ckpt_interval and \
+                    self.epoch % self.ckpt_interval == 0:
+                save_checkpoint(_state_to_dict(state), self.work_dir,
+                                self.epoch)
+            if self.eval_interval and \
+                    self.epoch % self.eval_interval == 0:
+                state = self.validate(state)
+        # final checkpoint if not on an interval boundary
+        if not self.ckpt_interval or self.epoch % self.ckpt_interval:
+            save_checkpoint(_state_to_dict(state), self.work_dir,
+                            self.epoch)
+        return state
+
+    def train_epoch(self, state: TrainState) -> TrainState:
+        self.train_loader.set_epoch(self.epoch)
+        n_batches = len(self.train_loader)
+        t_end = time.time()
+        for i, batch in enumerate(self.train_loader):
+            data_time = time.time() - t_end
+            device_batch = shard_batch(batch, self.mesh)
+            state, log_vars = self._train_step(state, device_batch)
+            if (i + 1) % self.log_interval == 0 or i + 1 == n_batches:
+                log_vars = jax.device_get(log_vars)
+                step = int(jax.device_get(state.step))
+                lr = float(self.lr_schedule(step)) if self.lr_schedule \
+                    else None
+                iter_time = time.time() - t_end
+                self.log(dict(mode='train', epoch=self.epoch + 1,
+                              iter=i + 1, total_iters=n_batches, lr=lr,
+                              time=iter_time, data_time=data_time,
+                              **log_vars))
+            t_end = time.time()
+        return state
+
+    def validate(self, state: TrainState) -> TrainState:
+        if self.val_loader is None:
+            return state
+        if self.eval_simple:
+            # SSL validation: average train-step losses over val data
+            meters: Dict[str, list] = {}
+            for batch in self.val_loader:
+                device_batch = shard_batch(batch, self.mesh)
+                _, log_vars = self._val_step(state, device_batch)
+                for k, v in jax.device_get(log_vars).items():
+                    meters.setdefault(k, []).append(float(v))
+            self.log(dict(mode='val', epoch=self.epoch,
+                          **{k: float(np.mean(v))
+                             for k, v in meters.items()}))
+        elif self.eval_fn is not None:
+            results = self.eval_fn(state, self.val_loader)
+            metrics = self.val_dataset.evaluate(
+                results, metrics=self.eval_metrics)
+            self.log(dict(mode='val', epoch=self.epoch, **metrics))
+        return state
+
+
+def _state_to_dict(state: TrainState) -> Dict:
+    from flax import serialization
+    return serialization.to_state_dict(state)

@@ -1,0 +1,264 @@
+"""Video ResNets in flax — torchvision r3d_18 semantics and the slim
+MSCL flow ResNet family.
+
+Parity targets:
+  - torchvision.models.video.VideoResNet (r3d_18/mc3_18) as used by
+    reference configs via 'torchvision.r3d_18'
+    (base_moco.py:77-106 backbone sources)
+  - slim flow VideoResNet: reference mmaction/models/backbones/fastonly.py
+    (base width 16 -> stage channels 16/32/64/128; stems at :185-235;
+    conv makers :17-101; constructors :329-466)
+  - multi-stage outputs: reference moco.py:12-24 monkeypatches forward to
+    return [layer1..layer4] features — here it's the native behavior
+    (``out_indices`` selects stages; single-tensor mode returns layer4).
+
+TPU design: NTHWC layout (channels last), explicit torch-style symmetric
+padding (so geometry matches torchvision for any input size), BatchNorm
+with fp32 stats. Under jit with a batch sharded over the DP mesh axis, BN
+statistics are computed over the *global* batch by XLA's partitioner —
+this is the documented replacement for the reference's ShuffleBN
+(moco.py:146-191): global-batch stats remove the intra-batch information
+leak that ShuffleBN works around (the MoCo paper's SyncBN alternative).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import BACKBONES
+
+# torch-parity initializers (fastonly.py:424-436 / torchvision defaults)
+conv_init = nn.initializers.variance_scaling(2.0, 'fan_out',
+                                             'truncated_normal')
+
+
+def kaiming_normal_fan_out():
+    return nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
+
+
+class ConvBN(nn.Module):
+    """Conv3d(+BN)(+ReLU) block in NTHWC with torch-style padding."""
+    features: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Optional[Tuple[int, int, int]] = None
+    use_bn: bool = True
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.padding is None:
+            pad = tuple(k // 2 for k in self.kernel)
+        else:
+            pad = self.padding
+        x = nn.Conv(
+            self.features, self.kernel, strides=self.stride,
+            padding=[(p, p) for p in pad], use_bias=False,
+            kernel_init=kaiming_normal_fan_out(),
+            dtype=self.dtype, name='conv')(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name='bn')(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+# ----------------------------------------------------------- conv makers
+# Each maker returns (kernel, stride_fn, padding) for a given stride —
+# mirrors fastonly.py:17-101 / torchvision conv builders.
+
+def _simple3d(stride):  # Conv3DSimple: 3x3x3, stride (s,s,s)
+    return (3, 3, 3), (stride, stride, stride), (1, 1, 1)
+
+
+def _no_temporal(stride):  # Conv3DNoTemporal: 1x3x3, stride (1,s,s)
+    return (1, 3, 3), (1, stride, stride), (0, 1, 1)
+
+
+def _no_downsample(stride):  # Conv3DNoDownSample: 3x3x3, stride (1,s,s)
+    return (3, 3, 3), (1, stride, stride), (1, 1, 1)
+
+
+_CONV_MAKERS = {
+    'simple3d': _simple3d,
+    'no_temporal': _no_temporal,
+    'no_downsample': _no_downsample,
+}
+
+
+def _downsample_stride(maker_name, stride):
+    if maker_name == 'simple3d':
+        return (stride, stride, stride)
+    return (1, stride, stride)
+
+
+class BasicBlock3D(nn.Module):
+    """conv-bn-relu + conv-bn with identity/1x1-downsample residual
+    (fastonly.py:104-136 / torchvision BasicBlock)."""
+    planes: int
+    maker: str
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kernel, stride3, pad = _CONV_MAKERS[self.maker](self.stride)
+        residual = x
+        out = ConvBN(self.planes, kernel, stride3, pad, dtype=self.dtype,
+                     name='conv1')(x, train)
+        kernel2, _, pad2 = _CONV_MAKERS[self.maker](1)
+        out = ConvBN(self.planes, kernel2, (1, 1, 1), pad2, relu=False,
+                     dtype=self.dtype, name='conv2')(out, train)
+        if self.downsample:
+            ds = _downsample_stride(self.maker, self.stride)
+            residual = ConvBN(self.planes, (1, 1, 1), ds, (0, 0, 0),
+                              relu=False, dtype=self.dtype,
+                              name='downsample')(x, train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck3D(nn.Module):
+    """1x1x1 -> maker conv -> 1x1x1 with expansion 4
+    (fastonly.py:139-182)."""
+    planes: int
+    maker: str
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kernel, stride3, pad = _CONV_MAKERS[self.maker](self.stride)
+        residual = x
+        out = ConvBN(self.planes, (1, 1, 1), (1, 1, 1), (0, 0, 0),
+                     dtype=self.dtype, name='conv1')(x, train)
+        out = ConvBN(self.planes, kernel, stride3, pad, dtype=self.dtype,
+                     name='conv2')(out, train)
+        out = ConvBN(self.planes * self.expansion, (1, 1, 1), (1, 1, 1),
+                     (0, 0, 0), relu=False, dtype=self.dtype,
+                     name='conv3')(out, train)
+        if self.downsample:
+            ds = _downsample_stride(self.maker, self.stride)
+            residual = ConvBN(self.planes * self.expansion, (1, 1, 1), ds,
+                              (0, 0, 0), relu=False, dtype=self.dtype,
+                              name='downsample')(x, train)
+        return nn.relu(out + residual)
+
+
+class VideoResNet(nn.Module):
+    """Generic video ResNet over NTHWC clips.
+
+    stem: one of 'r3d' (torchvision: 3->64, (3,7,7), stride (1,2,2)),
+    'flow_basic' (fastonly BasicStem: 3->16, (1,7,7), stride (2,2,2) —
+    halves T), 'flow_2d' (6-ch paired frames), 'flow_2d_v2'
+    (temporal subsample by 2), 'flow_bottleneck' (3->8 + maxpool).
+    """
+    block: str = 'basic'                  # 'basic' | 'bottleneck'
+    conv_makers: Sequence[str] = ('simple3d',) * 4
+    layers: Sequence[int] = (2, 2, 2, 2)
+    stem: str = 'r3d'
+    base_width: int = 64
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    single_out: bool = False              # return only layer4 features
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # ------------------------------------------------------------ stem
+        if self.stem == 'r3d':
+            x = ConvBN(self.base_width, (3, 7, 7), (1, 2, 2), (1, 3, 3),
+                       dtype=self.dtype, name='stem')(x, train)
+        elif self.stem == 'flow_basic':
+            x = ConvBN(self.base_width, (1, 7, 7), (2, 2, 2), (0, 3, 3),
+                       dtype=self.dtype, name='stem')(x, train)
+        elif self.stem == 'flow_2d':
+            # pair adjacent frames into channels: n,t,h,w,c -> n,t/2,h,w,2c
+            n, t, h, w, c = x.shape
+            x = x.reshape(n, t // 2, 2, h, w, c)
+            x = jnp.moveaxis(x, 2, 4).reshape(n, t // 2, h, w, 2 * c)
+            x = ConvBN(self.base_width, (1, 7, 7), (1, 2, 2), (0, 3, 3),
+                       dtype=self.dtype, name='stem')(x, train)
+        elif self.stem == 'flow_2d_v2':
+            x = x[:, ::2]
+            x = ConvBN(self.base_width, (1, 7, 7), (1, 2, 2), (0, 3, 3),
+                       dtype=self.dtype, name='stem')(x, train)
+        elif self.stem == 'flow_bottleneck':
+            x = ConvBN(self.base_width, (1, 7, 7), (2, 2, 2), (0, 3, 3),
+                       dtype=self.dtype, name='stem')(x, train)
+            x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
+                            padding=[(0, 0), (1, 1), (1, 1)])
+        else:
+            raise ValueError(f'unknown stem {self.stem}')
+
+        block_cls = BasicBlock3D if self.block == 'basic' else Bottleneck3D
+        expansion = 1 if self.block == 'basic' else 4
+
+        # ---------------------------------------------------------- stages
+        outs = []
+        in_planes = x.shape[-1]
+        for stage_idx in range(4):
+            planes = self.base_width * (2 ** stage_idx)
+            stride = 1 if stage_idx == 0 else 2
+            maker = self.conv_makers[stage_idx]
+            for block_idx in range(self.layers[stage_idx]):
+                s = stride if block_idx == 0 else 1
+                need_ds = (s != 1 or in_planes != planes * expansion)
+                x = block_cls(planes, maker, s, need_ds, dtype=self.dtype,
+                              name=f'layer{stage_idx + 1}_{block_idx}')(
+                                  x, train)
+                in_planes = planes * expansion
+            outs.append(x)
+
+        if self.single_out:
+            return outs[-1]
+        return [outs[i] for i in self.out_indices]
+
+
+# ------------------------------------------------------------ constructors
+def _register(name, **kwargs):
+    BACKBONES.register_module(
+        name=name, module=partial(VideoResNet, **kwargs))
+
+
+# torchvision family (reference base_moco.py:77-90 'torchvision.*' source)
+_register('torchvision.r3d_18', block='basic',
+          conv_makers=('simple3d',) * 4, layers=(2, 2, 2, 2), stem='r3d',
+          base_width=64)
+_register('torchvision.mc3_18', block='basic',
+          conv_makers=('simple3d',) + ('no_temporal',) * 3,
+          layers=(2, 2, 2, 2), stem='r3d', base_width=64)
+
+# slim flow family (reference base_moco.py:91-99 'resnet_flow.*' source,
+# fastonly.py constructors :339-441)
+_register('resnet_flow.r2d_18', block='basic',
+          conv_makers=('no_temporal',) * 4, layers=(2, 2, 2, 2),
+          stem='flow_basic', base_width=16)
+_register('resnet_flow.r2dv2_18', block='basic',
+          conv_makers=('no_temporal',) * 4, layers=(2, 2, 2, 2),
+          stem='flow_2d', base_width=16)
+_register('resnet_flow.r2dv3_18', block='basic',
+          conv_makers=('no_temporal',) * 4, layers=(2, 2, 2, 2),
+          stem='flow_2d_v2', base_width=16)
+_register('resnet_flow.mx2d_18', block='basic',
+          conv_makers=('no_temporal',) * 3 + ('simple3d',),
+          layers=(2, 2, 2, 2), stem='flow_basic', base_width=16)
+_register('resnet_flow.r3d_18', block='basic',
+          conv_makers=('simple3d',) * 4, layers=(2, 2, 2, 2),
+          stem='flow_basic', base_width=16)
+_register('resnet_flow.r3dv2_18', block='basic',
+          conv_makers=('no_downsample',) * 4, layers=(2, 2, 2, 2),
+          stem='flow_basic', base_width=16)
+_register('resnet_flow.mc3_18', block='basic',
+          conv_makers=('simple3d',) + ('no_temporal',) * 3,
+          layers=(2, 2, 2, 2), stem='flow_basic', base_width=16)
+_register('resnet_flow.r2d_50', block='bottleneck',
+          conv_makers=('no_temporal',) * 4, layers=(3, 4, 6, 3),
+          stem='flow_bottleneck', base_width=8)

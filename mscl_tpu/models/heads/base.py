@@ -1,0 +1,53 @@
+"""BaseHead — classification head protocol + jit-friendly accuracy.
+
+Parity: reference mmaction/models/heads/base.py (loss() returns a dict of
+'loss_cls' + 'top1_acc'/'top5_acc'; label smoothing / multi-class soft
+targets supported).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import build_loss
+
+
+def topk_accuracy(cls_score: jnp.ndarray, labels: jnp.ndarray, k: int
+                  ) -> jnp.ndarray:
+    """Differentiability-free top-k accuracy usable inside jit."""
+    labels = labels.reshape(-1).astype(jnp.int32)
+    _, topk_idx = jax.lax.top_k(cls_score, k)
+    hit = (topk_idx == labels[:, None]).any(axis=1)
+    return jax.lax.stop_gradient(hit.mean().astype(jnp.float32))
+
+
+class BaseHead(nn.Module):
+    """Subclasses define __call__ producing cls_score; loss() is shared."""
+    num_classes: int = 400
+    loss_cls: Any = None
+    multi_class: bool = False
+    label_smooth_eps: float = 0.0
+    topk: tuple = (1, 5)
+
+    def _build_loss(self):
+        cfg = self.loss_cls or dict(type='CrossEntropyLoss')
+        return build_loss(dict(cfg))
+
+    def loss(self, cls_score, labels, **kwargs):
+        losses = {}
+        labels = labels.reshape(-1) if labels.ndim > 1 and \
+            labels.shape[-1] == 1 else labels
+        if not self.multi_class and labels.ndim == 1:
+            for k in self.topk:
+                if k <= cls_score.shape[-1]:
+                    losses[f'top{k}_acc'] = topk_accuracy(
+                        cls_score, labels, k)
+        if self.multi_class and self.label_smooth_eps != 0:
+            labels = ((1 - self.label_smooth_eps) * labels +
+                      self.label_smooth_eps / self.num_classes)
+        loss_fn = self._build_loss()
+        losses['loss_cls'] = loss_fn(cls_score, labels, **kwargs)
+        return losses

@@ -1,0 +1,6 @@
+from .cross_entropy_loss import (BCELossWithLogits, CrossEntropyLoss,
+                                 CrossEntropyLossTorch, NLLLoss,
+                                 cross_entropy, soft_cross_entropy)
+
+__all__ = ['CrossEntropyLoss', 'CrossEntropyLossTorch', 'BCELossWithLogits',
+           'NLLLoss', 'cross_entropy', 'soft_cross_entropy']

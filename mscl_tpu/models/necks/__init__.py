@@ -1,0 +1,8 @@
+from .base_moco import BaseMoCo, MixBaseMoCo, TPNMoCo, TPNProjMoCo, gap3d
+from .fpn import FPN, torch_nearest_resize
+from .fpn_video import TemporalModulation, TPNSingle
+from .sepc import SEPC, PConv3D, trilinear_resize
+
+__all__ = ['BaseMoCo', 'MixBaseMoCo', 'TPNMoCo', 'TPNProjMoCo', 'gap3d',
+           'FPN', 'torch_nearest_resize', 'TemporalModulation', 'TPNSingle',
+           'SEPC', 'PConv3D', 'trilinear_resize']

@@ -1,0 +1,101 @@
+"""Recognizer3D — 3D CNN clip classifier (fine-tune / test / retrieval).
+
+Parity: reference mmaction/models/recognizers/recognizer3d.py —
+  - forward_train (:13-30): flatten clip dim, backbone -> head -> CE loss
+  - _do_test (:32-99): per-clip scores averaged per test_cfg.average_clips
+    ('prob' softmax-mean | 'score' mean, reference base.py:224-258)
+  - feature extraction (:67-93): spatiotemporal avg-pool, reshape
+    (batches, num_segs, -1), temporal mean — the retrieval feature path.
+
+TPU notes: accepts NCTHW batches (reference layout, what the pipeline
+emits) and transposes once to NTHWC before the conv stack.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import RECOGNIZERS, BACKBONES, HEADS
+from .base import parse_losses
+
+
+def to_nthwc(imgs: jnp.ndarray) -> jnp.ndarray:
+    """(..., C, T, H, W) -> (N, T, H, W, C), flattening leading dims."""
+    imgs = imgs.reshape((-1,) + imgs.shape[-4:])
+    return jnp.transpose(imgs, (0, 2, 3, 4, 1))
+
+
+@RECOGNIZERS.register_module()
+class Recognizer3D(nn.Module):
+    backbone: Any = None
+    cls_head: Any = None
+    neck: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        bb_cfg = dict(self.backbone)
+        bb_type = bb_cfg.pop('type')
+        bb_cfg.pop('pretrained', None)
+        factory = BACKBONES.get(bb_type)
+        if factory is None:
+            raise KeyError(f'unknown backbone {bb_type}')
+        self.backbone_m = factory(dtype=self.dtype, **bb_cfg)
+        if self.cls_head is not None:
+            head_cfg = dict(self.cls_head)
+            head_type = head_cfg.pop('type')
+            self.cls_head_m = HEADS.get(head_type)(dtype=self.dtype,
+                                                   **head_cfg)
+
+    def extract_feat(self, imgs, train: bool = False):
+        feats = self.backbone_m(imgs, train=train)
+        return feats[-1] if isinstance(feats, (list, tuple)) else feats
+
+    def forward_train(self, imgs, labels, train: bool = True
+                      ) -> Dict[str, jnp.ndarray]:
+        imgs = to_nthwc(imgs)
+        x = self.extract_feat(imgs, train=train)
+        cls_score = self.cls_head_m(x, train=train)
+        labels = labels.reshape(-1)
+        return self.cls_head_m.loss(cls_score, labels)
+
+    def forward_test(self, imgs) -> jnp.ndarray:
+        """(B, num_segs, C, T, H, W) -> (B, num_classes) averaged scores."""
+        batches = imgs.shape[0]
+        num_segs = imgs.shape[1] if imgs.ndim == 6 else 1
+        x = self.extract_feat(to_nthwc(imgs), train=False)
+        cls_score = self.cls_head_m(x, train=False)
+        cls_score = cls_score.reshape(batches, num_segs, -1)
+        average_clips = (self.test_cfg or {}).get('average_clips', None)
+        if average_clips == 'prob':
+            cls_score = jax.nn.softmax(cls_score, axis=-1).mean(axis=1)
+        else:  # 'score' or None
+            cls_score = cls_score.mean(axis=1)
+        return cls_score
+
+    def extract_features_pooled(self, imgs) -> jnp.ndarray:
+        """Retrieval feature path (reference recognizer3d.py:67-93):
+        global avg-pool each clip feature, mean over segments."""
+        batches = imgs.shape[0]
+        num_segs = imgs.shape[1] if imgs.ndim == 6 else 1
+        feat = self.extract_feat(to_nthwc(imgs), train=False)
+        if feat.ndim == 5:
+            feat = feat.mean(axis=(1, 2, 3))
+        feat = feat.reshape(batches, num_segs, -1)
+        return feat.mean(axis=1)
+
+    def __call__(self, imgs, labels=None, train: bool = False,
+                 return_loss: bool = True):
+        if return_loss and labels is not None:
+            return self.forward_train(imgs, labels, train=train)
+        return self.forward_test(imgs)
+
+    def train_step(self, batch, train: bool = True):
+        losses = self.forward_train(batch['imgs'], batch['label'],
+                                    train=train)
+        loss, log_vars = parse_losses(losses)
+        return loss, log_vars
