@@ -1,8 +1,16 @@
+from .checkpoint import (latest_checkpoint, load_checkpoint, publish_model,
+                         save_checkpoint)
 from .evaluation.accuracy import (confusion_matrix, mean_average_precision,
                                   mean_class_accuracy,
                                   mmit_mean_average_precision,
                                   top_k_accuracy)
+from .lr_schedule import build_lr_schedule
+from .optimizer import build_optimizer, make_freeze_mask
+from .train_loop import Runner, TrainState, init_state, make_train_step
 
 __all__ = ['confusion_matrix', 'mean_average_precision',
            'mean_class_accuracy', 'mmit_mean_average_precision',
-           'top_k_accuracy']
+           'top_k_accuracy', 'build_lr_schedule', 'build_optimizer',
+           'make_freeze_mask', 'Runner', 'TrainState', 'init_state',
+           'make_train_step', 'save_checkpoint', 'load_checkpoint',
+           'latest_checkpoint', 'publish_model']
