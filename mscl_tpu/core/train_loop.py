@@ -37,15 +37,18 @@ class TrainState(struct.PyTreeNode):
     rng: Any
 
 
-def init_state(model, tx, example_batch, rng=None, method='train_step'
-               ) -> TrainState:
+def init_state(model, tx, example_batch, rng=None, method='train_step',
+               post_init_fn: Optional[Callable] = None) -> TrainState:
     """Initialize model variables from an example batch and wrap in
-    TrainState."""
+    TrainState. post_init_fn(variables) -> variables runs once after init
+    (the MoCo q->k weight copy, reference moco.py:379-387)."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
     init_rng, state_rng = jax.random.split(rng)
     variables = model.init(
         {'params': init_rng, 'dropout': init_rng, 'moco': init_rng},
         example_batch, method=method)
+    if post_init_fn is not None:
+        variables = post_init_fn(variables)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     moco_state = variables.get('moco_state', {})
@@ -56,17 +59,22 @@ def init_state(model, tx, example_batch, rng=None, method='train_step'
 
 
 def make_train_step(model, tx,
-                    post_update_fn: Optional[Callable] = None,
+                    pre_update_fn: Optional[Callable] = None,
                     method: str = 'train_step',
                     update: bool = True) -> Callable:
     """Build the pure (state, batch) -> (state, log_vars) step.
 
-    post_update_fn(params, moco_state, step) -> params runs after the
-    optimizer update — the MoCo EMA key-encoder copy lives there.
+    pre_update_fn(params, moco_state) -> params runs BEFORE the forward —
+    the MoCo EMA key-encoder copy lives there (matching the reference's
+    order: momentum update precedes the key forward, moco.py:528-530).
     """
 
     def train_step(state: TrainState, batch) -> tuple:
         rng, dropout_rng, moco_rng = jax.random.split(state.rng, 3)
+
+        base_params = state.params
+        if pre_update_fn is not None:
+            base_params = pre_update_fn(base_params, state.moco_state)
 
         def loss_fn(params):
             variables = {'params': params,
@@ -80,14 +88,10 @@ def make_train_step(model, tx,
 
         if update:
             grads, (log_vars, new_vars) = jax.grad(
-                loss_fn, has_aux=True)(state.params)
+                loss_fn, has_aux=True)(base_params)
             updates, new_opt_state = tx.update(grads, state.opt_state,
-                                               state.params)
-            params = optax.apply_updates(state.params, updates)
-            if post_update_fn is not None:
-                params = post_update_fn(params,
-                                        new_vars.get('moco_state', {}),
-                                        state.step)
+                                               base_params)
+            params = optax.apply_updates(base_params, updates)
             state = state.replace(
                 step=state.step + 1,
                 params=params,
@@ -99,7 +103,7 @@ def make_train_step(model, tx,
         else:
             # validation-by-loss: run the same computation, no update
             # (SimpleDistEvalHook, reference eval_hooks.py:417-529)
-            _, (log_vars, _) = loss_fn(state.params)
+            _, (log_vars, _) = loss_fn(base_params)
             state = state.replace(rng=rng)
         return state, log_vars
 
@@ -111,7 +115,7 @@ class Runner:
 
     def __init__(self, model, tx, train_loader, cfg, work_dir,
                  val_loader=None, val_dataset=None,
-                 post_update_fn=None, mesh=None,
+                 pre_update_fn=None, mesh=None,
                  lr_schedule=None, eval_fn=None):
         self.model = model
         self.tx = tx
@@ -137,10 +141,10 @@ class Runner:
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
         self._train_step = jax.jit(
-            make_train_step(model, tx, post_update_fn),
+            make_train_step(model, tx, pre_update_fn),
             donate_argnums=0)
         self._val_step = jax.jit(
-            make_train_step(model, tx, post_update_fn, update=False))
+            make_train_step(model, tx, pre_update_fn, update=False))
         os.makedirs(work_dir, exist_ok=True)
         self.log_file = osp.join(work_dir, 'log.json')
         self.epoch = 0

@@ -6,6 +6,7 @@ from . import backbones  # noqa: F401
 from . import necks  # noqa: F401
 from . import heads  # noqa: F401
 from . import losses  # noqa: F401
+from . import common  # noqa: F401
 from . import recognizers  # noqa: F401
 
 __all__ = ['MODELS', 'BACKBONES', 'NECKS', 'HEADS', 'RECOGNIZERS', 'LOSSES',

@@ -19,6 +19,7 @@ def topk_accuracy(cls_score: jnp.ndarray, labels: jnp.ndarray, k: int
                   ) -> jnp.ndarray:
     """Differentiability-free top-k accuracy usable inside jit."""
     labels = labels.reshape(-1).astype(jnp.int32)
+    k = min(k, cls_score.shape[-1])
     _, topk_idx = jax.lax.top_k(cls_score, k)
     hit = (topk_idx == labels[:, None]).any(axis=1)
     return jax.lax.stop_gradient(hit.mean().astype(jnp.float32))

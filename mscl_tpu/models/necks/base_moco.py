@@ -29,6 +29,7 @@ def gap3d(x: jnp.ndarray) -> jnp.ndarray:
 
 @NECKS.register_module()
 class BaseMoCo(nn.Module):
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -37,6 +38,7 @@ class BaseMoCo(nn.Module):
 
 @NECKS.register_module()
 class MixBaseMoCo(nn.Module):
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -1,0 +1,276 @@
+"""MoCo tower + MSCL composite tests on the 8-device CPU mesh — queue
+mechanics, EMA momentum, temporal-decay weighting, FRA negatives, and the
+full composite loss surface (reference semantics in moco.py / mscl.py)."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mscl_tpu.core import build_lr_schedule, build_optimizer, init_state, \
+    make_train_step
+from mscl_tpu.models import BACKBONES, RECOGNIZERS
+from mscl_tpu.models.backbones.video_resnet import VideoResNet
+from mscl_tpu.models.common.ssl_aug import FlowVisualizer
+from mscl_tpu.models.recognizers import (build_ema_fn, sync_key_variables)
+from mscl_tpu.models.recognizers.moco import momentum_schedule_from_cfg
+from mscl_tpu.parallel.mesh import create_mesh, shard_batch
+from mscl_tpu.utils.flow_viz import flow_to_image
+
+if 'test.tiny3d' not in BACKBONES:
+    BACKBONES.register_module(
+        name='test.tiny3d',
+        module=partial(VideoResNet, block='basic',
+                       conv_makers=('no_temporal',) * 4,
+                       layers=(1, 1, 1, 1), stem='flow_basic',
+                       base_width=8))
+
+DIM, K, BS, T, HW = 16, 32, 8, 4, 16
+
+
+def moco_cfg(basename=''):
+    return dict(
+        backbone=dict(type='test.tiny3d'),
+        neck=dict(type='BaseMoCo'),
+        moco_head=dict(type='MoCoHead', basename=basename,
+                       loss_cls=dict(type='CrossEntropyLoss_torch',
+                                     ignore_index=-1)),
+        im_key='imgs', dim_in=64, dim=DIM, K=K, m_base=0.9,
+        max_iters=1000, T=0.07, mlp=True, aux_info=[],
+        aug=dict(type='IdentityAug'))
+
+
+def moco_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return {'imgs': [
+        rng.uniform(size=(BS, 3, T, HW, HW)).astype(np.float32),
+        rng.uniform(size=(BS, 3, T, HW, HW)).astype(np.float32)]}
+
+
+def build_moco():
+    cfg = moco_cfg()
+    model = RECOGNIZERS.get('MoCoV2')(**cfg)
+    lr = build_lr_schedule(dict(policy='fixed'), 0.1, 1, 1)
+    tx = build_optimizer(
+        dict(type='SGD', lr=0.1, momentum=0.9, weight_decay=1e-4), lr,
+        grad_clip=dict(max_norm=40),
+        freeze_patterns=('encoder_k', 'neck_k', 'mlp_k'))
+    return model, tx
+
+
+class TestMomentumSchedule:
+
+    def test_cosine_anneal(self):
+        sched = momentum_schedule_from_cfg(
+            'MoCoV2', dict(m_base=0.994, max_iters=100))
+        # reference moco.py:408-421: m(0)=m_base, m(max)=1
+        assert float(sched(jnp.asarray(0))) == pytest.approx(0.994)
+        assert float(sched(jnp.asarray(50))) == pytest.approx(
+            1 - 0.5 * (1 - 0.994), rel=1e-6)
+        assert float(sched(jnp.asarray(100))) == pytest.approx(1.0)
+        assert float(sched(jnp.asarray(500))) == pytest.approx(1.0)
+
+    def test_fixed(self):
+        sched = momentum_schedule_from_cfg('MoCo', dict(m=0.999))
+        assert float(sched(jnp.asarray(123))) == pytest.approx(0.999)
+
+
+class TestMoCoV2:
+
+    def test_queue_mechanics_and_ema(self):
+        model, tx = build_moco()
+        batch = moco_batch()
+        state = init_state(model, tx, batch,
+                           post_init_fn=sync_key_variables)
+
+        # q == k after init sync
+        pq = jax.tree.leaves(state.params['encoder_q'])
+        pk = jax.tree.leaves(state.params['encoder_k'])
+        assert all(np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(pq, pk))
+
+        ms = state.moco_state
+        assert ms['queue'].shape == (DIM, K)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(ms['queue']), axis=0), 1.0,
+            rtol=1e-5)
+        assert int(ms['queue_ptr']) == 0
+        assert np.all(np.asarray(ms['count']) == 0)
+
+        step = jax.jit(make_train_step(model, tx, build_ema_fn(model)))
+        state1, log_vars = step(state, batch)
+        assert 'loss_cls' in log_vars and 'top1_acc' in log_vars
+        ms1 = state1.moco_state
+        # ptr advanced by global batch; enqueued slots count=1, others +1
+        assert int(ms1['queue_ptr']) == BS
+        cnt = np.asarray(ms1['count'])
+        assert np.all(cnt[:BS] == 1) and np.all(cnt[BS:] == 1)
+        assert int(ms1['iters']) == BS
+
+        state2, _ = step(state1, batch)
+        cnt2 = np.asarray(state2.moco_state['count'])
+        assert int(state2.moco_state['queue_ptr']) == 2 * BS
+        assert np.all(cnt2[:BS] == 2)        # aged by one update
+        assert np.all(cnt2[BS:2 * BS] == 1)  # freshly enqueued
+        assert int(state2.moco_state['iters']) == 2 * BS
+
+        # queue wraps after K/BS steps
+        for _ in range(2):
+            state2, _ = step(state2, batch)
+        assert int(state2.moco_state['queue_ptr']) == 0
+
+    def test_ema_moves_k_towards_q(self):
+        model, tx = build_moco()
+        batch = moco_batch()
+        state = init_state(model, tx, batch,
+                           post_init_fn=sync_key_variables)
+        step = jax.jit(make_train_step(model, tx, build_ema_fn(model)))
+        state1, _ = step(state, batch)
+        state2, _ = step(state1, batch)
+        # exact EMA semantics: k(2) = m*k(1) + (1-m)*q(1) with m computed
+        # at iters(1) (the pre-forward momentum update,
+        # reference moco.py:408-421 + 528-530)
+        m = float(momentum_schedule_from_cfg(
+            'MoCoV2', dict(m_base=0.9, max_iters=1000))(
+                state1.moco_state['iters']))
+        k1 = np.asarray(jax.tree.leaves(state1.params['encoder_k'])[0])
+        q1 = np.asarray(jax.tree.leaves(state1.params['encoder_q'])[0])
+        k2 = np.asarray(jax.tree.leaves(state2.params['encoder_k'])[0])
+        np.testing.assert_allclose(k2, m * k1 + (1 - m) * q1, rtol=1e-5)
+        q2 = np.asarray(jax.tree.leaves(state2.params['encoder_q'])[0])
+        assert not np.array_equal(q2, k2)
+
+    def test_queue_updated_with_keys(self):
+        model, tx = build_moco()
+        batch = moco_batch()
+        state = init_state(model, tx, batch,
+                           post_init_fn=sync_key_variables)
+        step = jax.jit(make_train_step(model, tx, build_ema_fn(model)))
+        state1, _ = step(state, batch)
+        q0 = np.asarray(state.moco_state['queue'])
+        q1 = np.asarray(state1.moco_state['queue'])
+        # first BS columns replaced with unit-norm keys, rest unchanged
+        assert not np.allclose(q0[:, :BS], q1[:, :BS])
+        np.testing.assert_allclose(q0[:, BS:], q1[:, BS:])
+        np.testing.assert_allclose(np.linalg.norm(q1[:, :BS], axis=0),
+                                   1.0, rtol=1e-4)
+
+    def test_runs_sharded_on_mesh(self):
+        model, tx = build_moco()
+        batch = moco_batch()
+        state = init_state(model, tx, batch,
+                           post_init_fn=sync_key_variables)
+        mesh = create_mesh()
+        step = jax.jit(make_train_step(model, tx, build_ema_fn(model)))
+        device_batch = shard_batch(batch, mesh)
+        state1, log_vars = step(state, device_batch)
+        assert np.isfinite(float(log_vars['loss']))
+
+
+def mscl_model_cfg():
+    rgb = dict(type='MoCoV2', **moco_cfg())
+    flow = dict(type='MoCoV2', **moco_cfg(basename='flow'))
+    return dict(
+        recognizer=rgb, recognizer_flow=flow,
+        moco_mx_head=dict(type='MSCLWithAugMxHead', basename='mx',
+                          loss_cls=dict(type='CrossEntropyLoss_torch',
+                                        ignore_index=-1),
+                          same_kn=True, T=0.07),
+        sup_head=dict(type='MSCLWithAugPosHeadV2', basename='',
+                      loss_pos=dict(type='CrossEntropyLoss_torch',
+                                    ignore_index=-1),
+                      bkb_channels=(8, 64), t=T // 2, T=0.07,
+                      aux_keys=dict(
+                          im_features=dict(q_mlvl='q_mlvl'),
+                          base_flow_features=dict(
+                              q_mlvl='q_flow_mlvl'),
+                          aug_flow_features=dict(
+                              q_mlvl='q_aug_flow_mlvl'))),
+        im_key='imgs', flow_key='flow_imgs', aux_info=[],
+        update_aug_flow=False, weight_aug_flow=(1.0, 1.0),
+        aug=dict(type='SyncMoCoAugmentV5', crop_size=HW,
+                 sync_level=('batch', 'batch'), t=(T, T),
+                 flow_suffix='flow_imgs', weak_aug=(False, False),
+                 visualize=True),
+        same_kn=True)
+
+
+def mscl_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        'imgs': [rng.uniform(size=(BS, 3, T, HW, HW)).astype(np.float32)
+                 for _ in range(2)],
+        # concatenated base+rotated flow: 2T frames of raw (u, v)
+        'flow_imgs': [rng.normal(size=(BS, 2, 2 * T, HW, HW))
+                      .astype(np.float32) for _ in range(2)],
+    }
+
+
+class TestMSCLWithAug:
+
+    def test_full_composite_losses(self):
+        model = RECOGNIZERS.get('MSCLWithAug')(**mscl_model_cfg())
+        lr = build_lr_schedule(dict(policy='fixed'), 0.02, 1, 1)
+        tx = build_optimizer(
+            dict(type='SGD', lr=0.02, momentum=0.9, weight_decay=1e-4),
+            lr, grad_clip=dict(max_norm=40),
+            freeze_patterns=('encoder_k', 'neck_k', 'mlp_k'))
+        batch = mscl_batch()
+        state = init_state(model, tx, batch,
+                           post_init_fn=sync_key_variables)
+        mesh = create_mesh()
+        step = jax.jit(make_train_step(model, tx, build_ema_fn(model)))
+        state1, log_vars = step(state, shard_batch(batch, mesh))
+        # the full MSCL loss surface (reference mscl.py:225-277)
+        for key in ['loss_cls',            # RGB InfoNCE
+                    'loss_cls_flow',       # base flow InfoNCE
+                    'loss_cls_flow_aug',   # FRA-rotated flow InfoNCE
+                    'loss_cls_mx', 'loss_cls_mx_r',        # cross-modal
+                    'loss_cls_mx_aug', 'loss_cls_mx_r_aug',
+                    'loss_pos',            # LMCL
+                    'loss']:
+            assert key in log_vars, (key, sorted(log_vars))
+            assert np.isfinite(float(log_vars[key])), key
+
+        # FRA pass must NOT touch the flow queue (update_aug_flow=False):
+        # flow ptr advanced once (base pass), not twice
+        assert int(state1.moco_state['recognizer_flow_m']
+                   ['queue_ptr']) == BS
+        assert int(state1.moco_state['recognizer_m']['queue_ptr']) == BS
+        # flow tower iters advance twice per step (reference quirk,
+        # moco.py:506-507 — both flow forwards count)
+        assert int(state1.moco_state['recognizer_flow_m']
+                   ['iters']) == 2 * BS
+        assert int(state1.moco_state['recognizer_m']['iters']) == BS
+
+    def test_loss_decreases(self):
+        model = RECOGNIZERS.get('MSCLWithAug')(**mscl_model_cfg())
+        lr = build_lr_schedule(dict(policy='fixed'), 0.05, 1, 1)
+        tx = build_optimizer(
+            dict(type='SGD', lr=0.05, momentum=0.9), lr,
+            freeze_patterns=('encoder_k', 'neck_k', 'mlp_k'))
+        batch = mscl_batch()
+        state = init_state(model, tx, batch,
+                           post_init_fn=sync_key_variables)
+        step = jax.jit(make_train_step(model, tx, build_ema_fn(model)))
+        losses = []
+        for _ in range(6):
+            state, log_vars = step(state, batch)
+            losses.append(float(log_vars['loss']))
+        assert losses[-1] < losses[0], losses
+
+
+class TestFlowVisualizerParity:
+
+    def test_matches_numpy_flow_viz(self):
+        """Device color wheel == host color wheel (up to the /255)."""
+        rng = np.random.default_rng(0)
+        flow = rng.normal(size=(6, 6, 2)).astype(np.float32)
+        # normalize like norm_flow so |uv| <= 1 (the pipeline does this)
+        rad = np.sqrt((flow ** 2).sum(-1)).max()
+        flow_n = flow / (rad + 1e-5)
+        host = flow_to_image(flow_n).astype(np.float32) / 255.0
+        dev = np.asarray(FlowVisualizer()(
+            jnp.asarray(flow_n)[None, None])[0, 0])
+        np.testing.assert_allclose(dev, host, atol=1.5 / 255)
