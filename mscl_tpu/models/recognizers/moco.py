@@ -62,11 +62,14 @@ def tree_ema_pairs(params: Dict, m) -> Dict:
 
 
 def tree_copy_pairs(tree: Dict) -> Dict:
-    """k <- q exact copy (init sync, reference moco.py:379-387)."""
+    """k <- q exact copy (init sync, reference moco.py:379-387).
+    Materializes fresh buffers — aliased q/k arrays would break input
+    donation in the jitted step."""
     out = dict(tree)
     for qn, kn in Q2K_PAIRS:
         if qn in tree and kn in tree:
-            out[kn] = jax.tree.map(lambda x: x, tree[qn])
+            out[kn] = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                   tree[qn])
     return out
 
 
