@@ -44,9 +44,15 @@ def init_state(model, tx, example_batch, rng=None, method='train_step',
     (the MoCo q->k weight copy, reference moco.py:379-387)."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
     init_rng, state_rng = jax.random.split(rng)
-    variables = model.init(
-        {'params': init_rng, 'dropout': init_rng, 'moco': init_rng},
-        example_batch, method=method)
+
+    # jit the whole init: eager init dispatches every op separately,
+    # which is pathologically slow on remote-compile TPU backends
+    @jax.jit
+    def _init(r, batch):
+        return model.init({'params': r, 'dropout': r, 'moco': r},
+                          batch, method=method)
+
+    variables = _init(init_rng, example_batch)
     if post_init_fn is not None:
         variables = post_init_fn(variables)
     params = variables['params']

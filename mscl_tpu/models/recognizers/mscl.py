@@ -27,9 +27,10 @@ from .recognizer3d import to_nthwc
 def _build_sub_recognizer(cfg, dtype):
     cfg = dict(cfg)
     rec_type = cfg.pop('type')
+    cfg.setdefault('dtype', dtype)
     cls = RECOGNIZERS.get(rec_type)
     assert cls is not None and issubclass(cls, _MoCoBase), rec_type
-    return cls(dtype=dtype, **cfg)
+    return cls(**cfg)
 
 
 def _build_head(cfg, dtype=None):
