@@ -1,0 +1,297 @@
+"""MM2-style ResNet3d family in flax (NTHWC): ResNet3d, ResNet3dSlowOnly,
+ResNet3dSlowFast.
+
+Parity: reference mmaction/models/backbones/resnet3d.py (BasicBlock3d
+:23-160, Bottleneck3d :162-335 with 'pytorch' style putting the stride on
+conv2 and inflate_style '3x1x1'; ResNet3d :338-870 with conv1_kernel,
+pool1 (1,3,3), optional pool2 (2,1,1) after stage 1) and
+resnet3d_slowonly.py:16-53 (SlowOnly defaults: conv1_kernel (1,7,7),
+inflate (0,0,1,1), with_pool2=False). SlowFast parity:
+resnet3d_slowfast.py — two pathways with time-strided lateral conv
+connections fused into the slow path.
+
+Used by the mscl_r50 recipe (configs/recognition/moco/
+mscl_r50_cosm_lr3e-2.py: ResNet3dSlowOnly depth 50, conv1_kernel (5,7,7),
+conv1_stride_t 2, out_indices (0,1,2,3)).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import BACKBONES
+from .video_resnet import ConvBN, kaiming_normal_fan_out
+
+ARCH_SETTINGS = {
+    18: ('basic', (2, 2, 2, 2)),
+    34: ('basic', (3, 4, 6, 3)),
+    50: ('bottleneck', (3, 4, 6, 3)),
+    101: ('bottleneck', (3, 4, 23, 3)),
+    152: ('bottleneck', (3, 8, 36, 3)),
+}
+
+
+class BasicBlock3d(nn.Module):
+    planes: int
+    spatial_stride: int = 1
+    temporal_stride: int = 1
+    dilation: int = 1
+    inflate: bool = True
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k1 = (3, 3, 3) if self.inflate else (1, 3, 3)
+        p1 = tuple(k // 2 for k in k1)
+        residual = x
+        out = ConvBN(self.planes, k1,
+                     (self.temporal_stride, self.spatial_stride,
+                      self.spatial_stride), p1, dtype=self.dtype,
+                     name='conv1')(x, train)
+        k2 = (3, 3, 3) if self.inflate else (1, 3, 3)
+        out = ConvBN(self.planes, k2, (1, 1, 1),
+                     tuple(k // 2 for k in k2), relu=False,
+                     dtype=self.dtype, name='conv2')(out, train)
+        if self.downsample:
+            residual = ConvBN(
+                self.planes, (1, 1, 1),
+                (self.temporal_stride, self.spatial_stride,
+                 self.spatial_stride), (0, 0, 0), relu=False,
+                dtype=self.dtype, name='downsample')(x, train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck3d(nn.Module):
+    """'pytorch' style: spatial/temporal stride on conv2
+    (reference resnet3d.py:228-237)."""
+    planes: int
+    spatial_stride: int = 1
+    temporal_stride: int = 1
+    dilation: int = 1
+    inflate: bool = True
+    inflate_style: str = '3x1x1'
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.inflate:
+            if self.inflate_style == '3x1x1':
+                k1, p1 = (3, 1, 1), (1, 0, 0)
+                k2 = (1, 3, 3)
+                p2 = (0, self.dilation, self.dilation)
+            else:
+                k1, p1 = (1, 1, 1), (0, 0, 0)
+                k2 = (3, 3, 3)
+                p2 = (1, self.dilation, self.dilation)
+        else:
+            k1, p1 = (1, 1, 1), (0, 0, 0)
+            k2 = (1, 3, 3)
+            p2 = (0, self.dilation, self.dilation)
+
+        residual = x
+        out = ConvBN(self.planes, k1, (1, 1, 1), p1, dtype=self.dtype,
+                     name='conv1')(x, train)
+        out = nn.Conv(self.planes, k2,
+                      strides=(self.temporal_stride, self.spatial_stride,
+                               self.spatial_stride),
+                      padding=[(p, p) for p in p2],
+                      kernel_dilation=(1, self.dilation, self.dilation),
+                      use_bias=False,
+                      kernel_init=kaiming_normal_fan_out(),
+                      dtype=self.dtype, name='conv2_conv')(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=jnp.float32,
+                           name='conv2_bn')(out)
+        out = nn.relu(out)
+        out = ConvBN(self.planes * self.expansion, (1, 1, 1), (1, 1, 1),
+                     (0, 0, 0), relu=False, dtype=self.dtype,
+                     name='conv3')(out, train)
+        if self.downsample:
+            residual = ConvBN(
+                self.planes * self.expansion, (1, 1, 1),
+                (self.temporal_stride, self.spatial_stride,
+                 self.spatial_stride), (0, 0, 0), relu=False,
+                dtype=self.dtype, name='downsample')(x, train)
+        return nn.relu(out + residual)
+
+
+def _max_pool3d(x, kernel, stride, padding):
+    return nn.max_pool(
+        x, kernel, strides=stride,
+        padding=[(p, p) for p in padding])
+
+
+@BACKBONES.register_module()
+class ResNet3d(nn.Module):
+    depth: int = 50
+    pretrained: Any = None
+    stage_blocks: Any = None
+    pretrained2d: bool = True
+    in_channels: int = 3
+    num_stages: int = 4
+    base_channels: int = 64
+    out_indices: Sequence[int] = (3,)
+    spatial_strides: Sequence[int] = (1, 2, 2, 2)
+    temporal_strides: Sequence[int] = (1, 1, 1, 1)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    conv1_kernel: Sequence[int] = (3, 7, 7)
+    conv1_stride_s: int = 2
+    conv1_stride_t: int = 1
+    pool1_stride_s: int = 2
+    pool1_stride_t: int = 1
+    with_pool1: bool = True
+    with_pool2: bool = True
+    style: str = 'pytorch'
+    frozen_stages: int = -1
+    inflate: Any = (1, 1, 1, 1)
+    inflate_style: str = '3x1x1'
+    norm_eval: bool = False
+    with_cp: bool = False
+    non_local: Any = (0, 0, 0, 0)
+    non_local_cfg: Any = None
+    zero_init_residual: bool = True
+    lateral: bool = False
+    conv_cfg: Any = None
+    norm_cfg: Any = None
+    act_cfg: Any = None
+    dtype: Any = jnp.float32
+
+    def _stage_inflations(self):
+        inf = self.inflate
+        if isinstance(inf, int):
+            inf = (inf,) * self.num_stages
+        return inf
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, laterals=None):
+        assert not any(self.non_local), 'non-local blocks not supported'
+        block_type, default_blocks = ARCH_SETTINGS[self.depth]
+        stage_blocks = self.stage_blocks or \
+            default_blocks[:self.num_stages]
+        block_cls = BasicBlock3d if block_type == 'basic' else \
+            Bottleneck3d
+        expansion = 1 if block_type == 'basic' else 4
+        inflations = self._stage_inflations()
+
+        k = tuple(self.conv1_kernel)
+        x = ConvBN(self.base_channels, k,
+                   (self.conv1_stride_t, self.conv1_stride_s,
+                    self.conv1_stride_s),
+                   tuple((kk - 1) // 2 for kk in k),
+                   dtype=self.dtype, name='conv1')(x, train)
+        if self.with_pool1:
+            x = _max_pool3d(x, (1, 3, 3),
+                            (self.pool1_stride_t, self.pool1_stride_s,
+                             self.pool1_stride_s), (0, 1, 1))
+
+        outs = []
+        in_planes = self.base_channels
+        for i, num_blocks in enumerate(stage_blocks):
+            planes = self.base_channels * (2 ** i)
+            ss = self.spatial_strides[i]
+            ts = self.temporal_strides[i]
+            if laterals is not None and laterals[i] is not None:
+                x = jnp.concatenate([x, laterals[i]], axis=-1)
+                in_planes = x.shape[-1]
+            for b in range(num_blocks):
+                need_ds = (b == 0) and (
+                    ss != 1 or ts != 1 or
+                    in_planes != planes * expansion)
+                x = block_cls(
+                    planes,
+                    spatial_stride=ss if b == 0 else 1,
+                    temporal_stride=ts if b == 0 else 1,
+                    dilation=self.dilations[i],
+                    inflate=bool(inflations[b] if isinstance(
+                        inflations[i], (list, tuple))
+                        else inflations[i]),
+                    downsample=need_ds, dtype=self.dtype,
+                    name=f'layer{i + 1}_{b}')(x, train)
+                in_planes = planes * expansion
+            if i == 0 and self.with_pool2:
+                x = _max_pool3d(x, (2, 1, 1), (2, 1, 1), (0, 0, 0))
+            outs.append(x)
+        outs = [outs[i] for i in self.out_indices]
+        if len(outs) == 1:
+            return outs[0]
+        return outs
+
+
+@BACKBONES.register_module()
+class ResNet3dSlowOnly(ResNet3d):
+    """SlowOnly pathway (reference resnet3d_slowonly.py:16-53)."""
+    conv1_kernel: Sequence[int] = (1, 7, 7)
+    conv1_stride_t: int = 1
+    pool1_stride_t: int = 1
+    inflate: Any = (0, 0, 1, 1)
+    with_pool2: bool = False
+
+
+@BACKBONES.register_module()
+class ResNet3dSlowFast(nn.Module):
+    """Two-pathway SlowFast (reference resnet3d_slowfast.py): slow path
+    sees every ``resample_rate*speed_ratio``-th frame, fast path every
+    ``resample_rate``-th; fast features feed time-strided lateral convs
+    concatenated into the slow path before each stage."""
+    pretrained: Any = None
+    resample_rate: int = 8
+    speed_ratio: int = 8
+    channel_ratio: int = 8
+    slow_pathway: Any = None
+    fast_pathway: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        slow_cfg = dict(self.slow_pathway or dict(
+            depth=50, lateral=True, conv1_kernel=(1, 7, 7),
+            inflate=(0, 0, 1, 1)))
+        fast_cfg = dict(self.fast_pathway or dict(
+            depth=50, lateral=False, base_channels=8,
+            conv1_kernel=(5, 7, 7), conv1_stride_t=1, pool1_stride_t=1))
+        slow_cfg.pop('type', None)
+        fast_cfg.pop('type', None)
+        lateral = slow_cfg.pop('lateral', True)
+        slow_cfg.setdefault('with_pool2', False)
+        fast_cfg.setdefault('with_pool2', False)
+        slow_cfg.setdefault('pretrained', None)
+        fast_cfg.setdefault('pretrained', None)
+        slow_cfg.setdefault('out_indices', (0, 1, 2, 3))
+        fast_cfg.setdefault('out_indices', (0, 1, 2, 3))
+
+        x_slow = x[:, ::self.resample_rate]
+        x_fast = x[:, ::max(self.resample_rate // self.speed_ratio, 1)]
+
+        fast = ResNet3dSlowOnly(dtype=self.dtype, name='fast_path',
+                                **fast_cfg)
+        fast_outs = fast(x_fast, train=train)
+
+        laterals = [None, None, None, None]
+        if lateral:
+            fuse_dims = [fast_cfg.get('base_channels', 8) * m
+                         for m in (1, 4, 8, 16)]
+            # lateral convs on fast stem/stage outputs, time-strided to
+            # the slow frame rate
+            alpha = self.speed_ratio
+            for i in range(3):
+                src = fast_outs[i]
+                lat = nn.Conv(
+                    fuse_dims[i] * 2, (5, 1, 1),
+                    strides=(alpha, 1, 1),
+                    padding=[(2, 2), (0, 0), (0, 0)], use_bias=False,
+                    dtype=self.dtype, name=f'lateral_{i}')(src)
+                laterals[i + 1] = lat
+
+        slow = ResNet3dSlowOnly(dtype=self.dtype, name='slow_path',
+                                **slow_cfg)
+        slow_outs = slow(x_slow, train=train, laterals=laterals)
+        slow_last = slow_outs[-1] if isinstance(slow_outs, list) else \
+            slow_outs
+        fast_last = fast_outs[-1] if isinstance(fast_outs, list) else \
+            fast_outs
+        return (slow_last, fast_last)

@@ -42,19 +42,52 @@ _COLORWHEEL = jnp.asarray(make_colorwheel(), dtype=jnp.float32)  # (55, 3)
 
 
 # ------------------------------------------------------------- flow viz
+# Wheel segment boundaries: RY=15, YG=6, GC=4, CB=11, BM=13, MR=6.
+_SEG_STARTS = (0, 15, 21, 25, 36, 49, 55)
+
+
+def _wheel_at(k: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate the 55-entry color wheel at integer index k (..., ) ->
+    (..., 3) EXACTLY (floor-quantized ramps, values in [0, 255]) using a
+    branchless select cascade — table gathers destroy TPU fusion
+    throughput, arithmetic selects don't."""
+    k = k.astype(jnp.float32)
+
+    def ramp(start, length):
+        return jnp.floor(255.0 * (k - start) / length)
+
+    s = _SEG_STARTS
+    # R channel: 255 | 255-ramp | 0 | 0 | ramp | 255
+    r = jnp.where(k < s[1], 255.0,
+        jnp.where(k < s[2], 255.0 - ramp(s[1], 6),
+        jnp.where(k < s[4], 0.0,
+        jnp.where(k < s[5], ramp(s[4], 13), 255.0))))
+    # G channel: ramp | 255 | 255 | 255-ramp | 0 | 0
+    g = jnp.where(k < s[1], ramp(s[0], 15),
+        jnp.where(k < s[3], 255.0,
+        jnp.where(k < s[4], 255.0 - ramp(s[3], 11), 0.0)))
+    # G in GC segment stays 255 (covered by k < s[3] above)
+    # B channel: 0 | 0 | ramp | 255 | 255 | 255-ramp
+    b = jnp.where(k < s[2], 0.0,
+        jnp.where(k < s[3], ramp(s[2], 4),
+        jnp.where(k < s[5], 255.0, 255.0 - ramp(s[5], 6))))
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def flow_uv_to_colors(u: jnp.ndarray, v: jnp.ndarray,
                       convert_to_bgr: bool = False,
                       div255: bool = True) -> jnp.ndarray:
-    """(..., H, W) flow components -> (..., H, W, 3) color image."""
+    """(..., H, W) flow components -> (..., H, W, 3) color image.
+    Bit-identical to the host color wheel (utils/flow_viz.py)."""
     ncols = _COLORWHEEL.shape[0]
     rad = jnp.sqrt(jnp.square(u) + jnp.square(v))
     a = jnp.arctan2(-v, -u) / math.pi
     fk = (a + 1) / 2 * (ncols - 1)
-    k0 = jnp.floor(fk).astype(jnp.int32)
+    k0 = jnp.floor(fk)
     k1 = jnp.where(k0 + 1 == ncols, 0, k0 + 1)
     f = fk - k0
-    col0 = _COLORWHEEL[k0] / 255.0   # (..., 3)
-    col1 = _COLORWHEEL[k1] / 255.0
+    col0 = _wheel_at(k0) / 255.0   # (..., 3)
+    col1 = _wheel_at(k1) / 255.0
     col = (1 - f)[..., None] * col0 + f[..., None] * col1
     inside = (rad <= 1)[..., None]
     col = jnp.where(inside, 1 - rad[..., None] * (1 - col), col * 0.75)
@@ -97,19 +130,16 @@ def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    """Branchless HSV->RGB: f(n) = v - v*s*clip(min(k, 4-k), 0, 1) with
+    k = (n + 6h) mod 6 — pure VPU arithmetic, no gathers (jnp.choose
+    lowers to gathers that destroy TPU fusion throughput)."""
     h, s, v = img[..., 0], img[..., 1], img[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    rgb = jnp.stack([
-        jnp.choose(i, [v, q, p, p, t, v], mode='clip'),
-        jnp.choose(i, [t, v, v, q, p, p], mode='clip'),
-        jnp.choose(i, [p, p, t, v, v, q], mode='clip'),
-    ], axis=-1)
-    return rgb
+
+    def channel(n):
+        k = (n + h * 6.0) % 6.0
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([channel(5.0), channel(3.0), channel(1.0)], axis=-1)
 
 
 def _per(shape_b, t, per_frame, rng, lo, hi):
