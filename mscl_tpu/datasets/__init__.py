@@ -1,4 +1,5 @@
 from .base import BaseDataset
+from .blending import CutmixBlending, MixupBlending
 from .builder import (BLENDINGS, DATASETS, PIPELINES, build_dataloader,
                       build_dataset)
 from .dataset_wrappers import ConcatDataset, RepeatDataset
@@ -12,4 +13,5 @@ __all__ = [
     'build_dataloader', 'RawframeDataset', 'VideoDataset',
     'FileRawframeDataset', 'FileRawframe2BranchDataset', 'NumpyLoader',
     'default_collate', 'RepeatDataset', 'ConcatDataset',
+    'MixupBlending', 'CutmixBlending',
 ]

@@ -9,6 +9,8 @@ from .loading import (ArrayDecode, DenseSampleFrames, LocalDecode,
 from .loading_mscl import (AlignIndex, ChosenSampleFrames, MatchFlow, Seg2T,
                            TemporalShiftChosenSampleFrames,
                            TemporalShiftSampleFrames)
+from .combined_augmentations import MoCoTransform
+from .mcl_augmentations import MCLRandomResizedCrop, motion_map_from_flow
 from .moco_augmentations import (MoCoNormalize, MoCoNormalizeV2,
                                  MoCoRandomResizedCrop, MoCoResize)
 from .transforms_motion import (Flow2ImgWithAug, NormFlowV2, NormFlowWithAug,
@@ -26,5 +28,6 @@ __all__ = [
     'NormFlowWithAugV2', 'NormFlowV2', 'Flow2ImgWithAug', 'norm_flow',
     'RandomCrop', 'RandomResizedCrop', 'MultiScaleCrop', 'Resize',
     'RandomRescale', 'Flip', 'Normalize', 'CenterCrop', 'ThreeCrop',
-    'TenCrop', 'ColorJitter',
+    'TenCrop', 'ColorJitter', 'MoCoTransform', 'MCLRandomResizedCrop',
+    'motion_map_from_flow',
 ]

@@ -395,3 +395,37 @@ class SyncMoCoAugmentV2(SyncMoCoAugmentV5):
         super().__init__(crop_size, flip_transform, sync_level, t,
                          flow_suffix, img_width, visualize=False,
                          weak_aug=(False, False))
+
+
+@SSL_AUGS.register_module()
+class SyncMoCoAugmentV4(SyncMoCoAugmentV5):
+    """V3 + on-the-fly motion maps from raw flow, flipped in sync with the
+    clip and exposed as 'motion_maps_q/_k' (reference
+    ssl_aug.py:420-513)."""
+
+    def __init__(self, crop_size, flip_transform=dict(p=0.5),
+                 sync_level='batch', t=None, flow_suffix='flow_imgs',
+                 img_width=112, motion_pool='max'):
+        super().__init__(crop_size, flip_transform, sync_level, t,
+                         flow_suffix, img_width, visualize=True,
+                         weak_aug=(False, False))
+        from .motion_map import MotionMapCalculator
+        self.motion_calc = MotionMapCalculator(pool=motion_pool)
+
+    def _branch(self, rng, clips, aux_info, suffix, weak, sync):
+        full_suffix = (self.flow_suffix or '') + suffix
+        raw_flow = None
+        for k in list(aux_info):
+            if self.flow_suffix and k.endswith(full_suffix):
+                raw_flow = aux_info[k]
+        if raw_flow is not None and raw_flow.shape[-1] == 2:
+            # same flip mask as the base class derives from this rng
+            k_flip, _ = jax.random.split(rng)
+            if self.flip_enabled:
+                mask = jax.random.bernoulli(k_flip, self.flip_p,
+                                            (clips.shape[0],))
+            else:
+                mask = jnp.zeros((clips.shape[0],), bool)
+            mm = self.motion_calc(raw_flow)
+            aux_info['motion_maps' + suffix] = hflip_video(mm, mask)
+        return super()._branch(rng, clips, aux_info, suffix, weak, sync)

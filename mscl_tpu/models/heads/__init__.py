@@ -1,8 +1,22 @@
 from .base import BaseHead, topk_accuracy
 from .i3d_head import I3DHead
+from .local_align_heads import (FGMoDistPredHead, MAMSCLWithAugPosHead,
+                                MlvlMSCLWithAugPosHead, MoDistMSEPredHead,
+                                MoDistPredDTHead, MoDistPredHead,
+                                MoDistv2PosHead, MSCLWithAugAPPosHead,
+                                MSCLWithAugPosHead, MSCLWithAugSimpleHead,
+                                MTMoDistPredHead)
 from .local_cl_head import MSCLWithAugPosHeadV2
 from .moco_head import MoCoHead
 from .moco_head_v2 import MSCLWithAugMxHead
+from .moco_head_v3 import (MoCoHeadV2, MSCLWithAugDistillMxHead,
+                           MSCLWithAugMSFMxHead, MSFHead, NMSFHead)
 
 __all__ = ['BaseHead', 'topk_accuracy', 'I3DHead', 'MoCoHead',
-           'MSCLWithAugMxHead', 'MSCLWithAugPosHeadV2']
+           'MSCLWithAugMxHead', 'MSCLWithAugPosHeadV2', 'MoDistPredHead',
+           'MoDistMSEPredHead', 'FGMoDistPredHead', 'MoDistPredDTHead',
+           'MTMoDistPredHead', 'MoDistv2PosHead', 'MSCLWithAugPosHead',
+           'MSCLWithAugAPPosHead', 'MSCLWithAugSimpleHead',
+           'MlvlMSCLWithAugPosHead', 'MAMSCLWithAugPosHead', 'MoCoHeadV2',
+           'MSFHead', 'NMSFHead', 'MSCLWithAugMSFMxHead',
+           'MSCLWithAugDistillMxHead']

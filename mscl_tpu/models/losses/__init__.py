@@ -1,6 +1,10 @@
 from .cross_entropy_loss import (BCELossWithLogits, CrossEntropyLoss,
                                  CrossEntropyLossTorch, NLLLoss,
                                  cross_entropy, soft_cross_entropy)
+from .circle_loss import (MultiPositiveCircleLoss, MultiPositiveSumLoss,
+                          MultiPositiveUniLoss)
 
 __all__ = ['CrossEntropyLoss', 'CrossEntropyLossTorch', 'BCELossWithLogits',
-           'NLLLoss', 'cross_entropy', 'soft_cross_entropy']
+           'NLLLoss', 'cross_entropy', 'soft_cross_entropy',
+           'MultiPositiveSumLoss', 'MultiPositiveUniLoss',
+           'MultiPositiveCircleLoss']

@@ -109,3 +109,56 @@ class TPNProjMoCo(nn.Module):
             cur = jnp.moveaxis(cur, 4, 2).reshape(n, t * r, h, w, rc // r)
             new_x.append(cur)
         return x_emb, new_x
+
+
+@NECKS.register_module()
+class BaseMoCo_TwoR5(nn.Module):
+    """Last stage is a (global, local) feature pair: pool the global one,
+    pass the local one through (reference necks/base.py:46-65)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x_g, x_l = x[-1]
+        return gap3d(x_g), list(x[:-1]) + [x_l]
+
+
+@NECKS.register_module()
+class TPNProjMoCoV2(nn.Module):
+    """TPNProjMoCo over a channel fraction per level (reference
+    necks/base.py:105-133): take the first 1/chunk of channels before the
+    per-level projection."""
+    dims_in: Sequence[int] = (128, 256, 512)
+    dims_out: Sequence[int] = (128, 128, 128)
+    ft_ids: Sequence[int] = (0, 1, 2)
+    temporal_sizes: Sequence[int] = (4, 2, 1)
+    chunks: Sequence[int] = (1, 2, 2)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x_emb = gap3d(x[-1])
+        cur_rate = [self.temporal_sizes[0] // sz
+                    for sz in self.temporal_sizes]
+        num_out = len(self.ft_ids)
+        new_x = []
+        for i in self.ft_ids:
+            cur = x[i - num_out]
+            c = cur.shape[-1] // self.chunks[i]
+            cur = cur[..., :c]
+            n, t, h, w, _ = cur.shape
+            sz = self.temporal_sizes[i]
+            if t != sz:
+                cur = cur.reshape(n, sz, t // sz, h, w, c).mean(axis=2)
+            mid = self.dims_in[i] // 2
+            cur = nn.Conv(mid, (1, 1, 1), dtype=self.dtype,
+                          name=f'proj{i}_0')(cur)
+            cur = nn.relu(cur)
+            cur = nn.Conv(self.dims_out[i] * cur_rate[i], (1, 1, 1),
+                          dtype=self.dtype, name=f'proj{i}_1')(cur)
+            n, t, h, w, rc = cur.shape
+            r = cur_rate[i]
+            cur = cur.reshape(n, t, h, w, r, rc // r)
+            cur = jnp.moveaxis(cur, 4, 2).reshape(n, t * r, h, w, rc // r)
+            new_x.append(cur)
+        return x_emb, new_x
