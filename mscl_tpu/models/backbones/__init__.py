@@ -6,3 +6,7 @@ from .resnet3d import (BasicBlock3d, Bottleneck3d, ResNet3d,
 
 __all__ += ['ResNet3d', 'ResNet3dSlowOnly', 'ResNet3dSlowFast',
             'BasicBlock3d', 'Bottleneck3d']
+from .resnet2d import C3D, ResNet, ResNetTSM, temporal_shift
+from .x3d import X3D
+
+__all__ += ['ResNet', 'ResNetTSM', 'C3D', 'X3D', 'temporal_shift']

@@ -8,6 +8,8 @@ from .local_align_heads import (FGMoDistPredHead, MAMSCLWithAugPosHead,
                                 MTMoDistPredHead)
 from .local_cl_head import MSCLWithAugPosHeadV2
 from .moco_head import MoCoHead
+from .recognition_heads import (SlowFastHead, TPNHead, TSMHead, TSNHead,
+                                X3DHead)
 from .moco_head_v2 import MSCLWithAugMxHead
 from .moco_head_v3 import (MoCoHeadV2, MSCLWithAugDistillMxHead,
                            MSCLWithAugMSFMxHead, MSFHead, NMSFHead)
@@ -19,4 +21,5 @@ __all__ = ['BaseHead', 'topk_accuracy', 'I3DHead', 'MoCoHead',
            'MSCLWithAugAPPosHead', 'MSCLWithAugSimpleHead',
            'MlvlMSCLWithAugPosHead', 'MAMSCLWithAugPosHead', 'MoCoHeadV2',
            'MSFHead', 'NMSFHead', 'MSCLWithAugMSFMxHead',
-           'MSCLWithAugDistillMxHead']
+           'MSCLWithAugDistillMxHead', 'TSNHead', 'TSMHead', 'TPNHead',
+           'X3DHead', 'SlowFastHead']

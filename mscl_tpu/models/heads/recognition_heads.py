@@ -1,0 +1,133 @@
+"""MM2 recognition heads: TSN / TSM / SlowFast / X3D / TPN.
+
+Parity: reference mmaction/models/heads/{tsn,tsm,slowfast,x3d,tpn}_head.py
+— spatial pooling + dropout + fc, with segment consensus handled by the
+recognizer (Recognizer2D averages segment scores; TSM averages after the
+head per is_shift semantics).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import HEADS
+from .base import BaseHead
+
+
+class _PoolFCHead(BaseHead):
+    num_classes: int = 400
+    in_channels: int = 2048
+    loss_cls: Any = None
+    dropout_ratio: float = 0.4
+    init_std: float = 0.01
+    spatial_type: str = 'avg'
+    multi_class: bool = False
+    label_smooth_eps: float = 0.0
+    dtype: Any = jnp.float32
+
+    def _pool(self, x):
+        if x.ndim == 5:      # NTHWC
+            return x.mean(axis=(1, 2, 3))
+        if x.ndim == 4:      # NHWC
+            return x.mean(axis=(1, 2))
+        return x
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, num_segs: int = 1):
+        x = self._pool(x)
+        if self.dropout_ratio:
+            x = nn.Dropout(rate=self.dropout_ratio,
+                           deterministic=not train)(x)
+        score = nn.Dense(
+            self.num_classes,
+            kernel_init=nn.initializers.normal(stddev=self.init_std),
+            dtype=self.dtype, name='fc_cls')(x)
+        if num_segs > 1:
+            # segment consensus: average scores over segments
+            score = score.reshape((-1, num_segs) +
+                                  score.shape[1:]).mean(axis=1)
+        return score
+
+
+@HEADS.register_module()
+class TSNHead(_PoolFCHead):
+    """reference tsn_head.py (avg consensus)."""
+    dropout_ratio: float = 0.4
+    init_std: float = 0.01
+
+
+@HEADS.register_module()
+class TSMHead(_PoolFCHead):
+    """reference tsm_head.py (consensus over shifted segments)."""
+    num_segments: int = 8
+    dropout_ratio: float = 0.8
+    init_std: float = 0.001
+    is_shift: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, num_segs: int = None):
+        num_segs = num_segs or self.num_segments
+        return super().__call__(x, train=train, num_segs=num_segs)
+
+
+@HEADS.register_module()
+class TPNHead(_PoolFCHead):
+    """reference tpn_head (TSN-style on the fused pyramid)."""
+    dropout_ratio: float = 0.5
+
+
+@HEADS.register_module()
+class X3DHead(BaseHead):
+    """reference x3d_head.py: pooled conv5 -> fc1 -> relu -> fc2."""
+    num_classes: int = 400
+    in_channels: int = 432
+    mid_channels: int = 2048
+    loss_cls: Any = None
+    dropout_ratio: float = 0.5
+    init_std: float = 0.01
+    fc1_bias: bool = False
+    multi_class: bool = False
+    label_smooth_eps: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, num_segs: int = 1):
+        if x.ndim == 5:
+            x = x.mean(axis=(1, 2, 3))
+        x = nn.Dense(self.mid_channels, use_bias=self.fc1_bias,
+                     kernel_init=nn.initializers.normal(self.init_std),
+                     dtype=self.dtype, name='fc1')(x)
+        x = nn.relu(x)
+        if self.dropout_ratio:
+            x = nn.Dropout(rate=self.dropout_ratio,
+                           deterministic=not train)(x)
+        return nn.Dense(self.num_classes,
+                        kernel_init=nn.initializers.normal(self.init_std),
+                        dtype=self.dtype, name='fc2')(x)
+
+
+@HEADS.register_module()
+class SlowFastHead(BaseHead):
+    """reference slowfast_head.py: concat pooled slow+fast features."""
+    num_classes: int = 400
+    in_channels: int = 2304
+    loss_cls: Any = None
+    dropout_ratio: float = 0.8
+    init_std: float = 0.01
+    multi_class: bool = False
+    label_smooth_eps: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, num_segs: int = 1):
+        slow, fast = x
+        pooled = jnp.concatenate([slow.mean(axis=(1, 2, 3)),
+                                  fast.mean(axis=(1, 2, 3))], axis=-1)
+        if self.dropout_ratio:
+            pooled = nn.Dropout(rate=self.dropout_ratio,
+                                deterministic=not train)(pooled)
+        return nn.Dense(self.num_classes,
+                        kernel_init=nn.initializers.normal(self.init_std),
+                        dtype=self.dtype, name='fc_cls')(pooled)

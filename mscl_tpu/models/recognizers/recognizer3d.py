@@ -53,7 +53,9 @@ class Recognizer3D(nn.Module):
 
     def extract_feat(self, imgs, train: bool = False):
         feats = self.backbone_m(imgs, train=train)
-        return feats[-1] if isinstance(feats, (list, tuple)) else feats
+        # lists are multi-stage outputs (take the last stage); tuples are
+        # multi-pathway outputs (SlowFast) consumed whole by the head
+        return feats[-1] if isinstance(feats, list) else feats
 
     def forward_train(self, imgs, labels, train: bool = True
                       ) -> Dict[str, jnp.ndarray]:
@@ -83,7 +85,10 @@ class Recognizer3D(nn.Module):
         batches = imgs.shape[0]
         num_segs = imgs.shape[1] if imgs.ndim == 6 else 1
         feat = self.extract_feat(to_nthwc(imgs), train=False)
-        if feat.ndim == 5:
+        if isinstance(feat, tuple):  # SlowFast pathways: pool + concat
+            feat = jnp.concatenate(
+                [f.mean(axis=(1, 2, 3)) for f in feat], axis=-1)
+        elif feat.ndim == 5:
             feat = feat.mean(axis=(1, 2, 3))
         feat = feat.reshape(batches, num_segs, -1)
         return feat.mean(axis=1)

@@ -1,0 +1,122 @@
+"""MM2 recognition-zoo tests: TSN/TSM (Recognizer2D), SlowFast, X3D, C3D,
+SlowOnly shapes + a train step each (reference test style:
+tests/test_models/test_recognizers)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mscl_tpu.core import build_lr_schedule, build_optimizer, init_state, \
+    make_train_step
+from mscl_tpu.models import BACKBONES, RECOGNIZERS
+
+RNGS = {'params': jax.random.PRNGKey(0),
+        'dropout': jax.random.PRNGKey(0),
+        'moco': jax.random.PRNGKey(0)}
+
+
+def run_one_step(model, batch):
+    lr = build_lr_schedule(dict(policy='fixed'), 0.01, 1, 1)
+    tx = build_optimizer(dict(type='SGD', lr=0.01, momentum=0.9), lr)
+    state = init_state(model, tx, batch)
+    step = jax.jit(make_train_step(model, tx))
+    state, log_vars = step(state, batch)
+    assert np.isfinite(float(log_vars['loss']))
+    return log_vars
+
+
+class TestRecognizer2D:
+
+    def test_tsn(self):
+        model = RECOGNIZERS.get('Recognizer2D')(
+            backbone=dict(type='ResNet', depth=18),
+            cls_head=dict(type='TSNHead', num_classes=5, in_channels=512,
+                          dropout_ratio=0.0),
+            test_cfg=dict(average_clips='prob'))
+        batch = {'imgs': np.random.rand(2, 3, 3, 32, 32).astype(
+            np.float32),
+            'label': np.array([0, 1])}
+        log_vars = run_one_step(model, batch)
+        assert 'top1_acc' in log_vars
+
+    def test_tsm_shift_math(self):
+        from mscl_tpu.models.backbones.resnet2d import temporal_shift
+        x = jnp.arange(2 * 3 * 1 * 1 * 8, dtype=jnp.float32).reshape(
+            6, 1, 1, 8)
+        out = np.asarray(temporal_shift(x, num_segments=3, shift_div=4))
+        x_np = np.asarray(x).reshape(2, 3, 1, 1, 8)
+        # first 2 channels shifted from t+1
+        assert np.allclose(out.reshape(2, 3, 1, 1, 8)[0, 0, ..., :2],
+                           x_np[0, 1, ..., :2])
+        # last timestep's left-shift slot is zero
+        assert np.allclose(out.reshape(2, 3, 1, 1, 8)[0, 2, ..., :2], 0)
+        # channels 2:4 shifted from t-1; first timestep zero
+        assert np.allclose(out.reshape(2, 3, 1, 1, 8)[0, 0, ..., 2:4], 0)
+        assert np.allclose(out.reshape(2, 3, 1, 1, 8)[0, 1, ..., 2:4],
+                           x_np[0, 0, ..., 2:4])
+        # remaining channels unchanged
+        assert np.allclose(out.reshape(2, 3, 1, 1, 8)[..., 4:],
+                           x_np[..., 4:])
+
+    def test_tsm_recognizer(self):
+        model = RECOGNIZERS.get('Recognizer2D')(
+            backbone=dict(type='ResNetTSM', depth=18, num_segments=4),
+            cls_head=dict(type='TSMHead', num_classes=5, in_channels=512,
+                          num_segments=4, dropout_ratio=0.0))
+        batch = {'imgs': np.random.rand(2, 4, 3, 32, 32).astype(
+            np.float32),
+            'label': np.array([0, 1])}
+        run_one_step(model, batch)
+
+
+class TestRecognizer3DZoo:
+
+    def test_slowfast(self):
+        model = RECOGNIZERS.get('Recognizer3D')(
+            backbone=dict(
+                type='ResNet3dSlowFast', resample_rate=4, speed_ratio=4,
+                channel_ratio=8,
+                slow_pathway=dict(depth=18, lateral=True,
+                                  conv1_kernel=(1, 7, 7),
+                                  inflate=(0, 0, 1, 1)),
+                fast_pathway=dict(depth=18, lateral=False,
+                                  base_channels=8,
+                                  conv1_kernel=(5, 7, 7))),
+            cls_head=dict(type='SlowFastHead', num_classes=5,
+                          in_channels=576, dropout_ratio=0.0))
+        batch = {'imgs': np.random.rand(1, 1, 3, 8, 32, 32).astype(
+            np.float32), 'label': np.array([2])}
+        run_one_step(model, batch)
+
+    def test_x3d(self):
+        model = RECOGNIZERS.get('Recognizer3D')(
+            backbone=dict(type='X3D', gamma_w=1.0, gamma_b=2.25,
+                          gamma_d=1.0),
+            cls_head=dict(type='X3DHead', num_classes=5, in_channels=432,
+                          dropout_ratio=0.0))
+        batch = {'imgs': np.random.rand(1, 1, 3, 4, 32, 32).astype(
+            np.float32), 'label': np.array([1])}
+        run_one_step(model, batch)
+
+    def test_c3d(self):
+        model = RECOGNIZERS.get('Recognizer3D')(
+            backbone=dict(type='C3D'),
+            cls_head=dict(type='I3DHead', num_classes=5, in_channels=512,
+                          dropout_ratio=0.0))
+        batch = {'imgs': np.random.rand(1, 1, 3, 16, 32, 32).astype(
+            np.float32), 'label': np.array([0])}
+        run_one_step(model, batch)
+
+    def test_slowonly_mscl_r50_geometry(self):
+        """The mscl_r50 backbone config produces T=4 at every stage
+        (mscl_r50_cosm_lr3e-2.py:16-27)."""
+        bb = BACKBONES.get('ResNet3dSlowOnly')(
+            depth=50, pretrained=None, pretrained2d=False, lateral=False,
+            num_stages=4, conv1_kernel=(5, 7, 7), conv1_stride_t=2,
+            pool1_stride_t=1, spatial_strides=(1, 2, 2, 2),
+            out_indices=(0, 1, 2, 3))
+        x = jnp.zeros((1, 8, 64, 64, 3))
+        v = bb.init(jax.random.PRNGKey(0), x)
+        outs = bb.apply(v, x)
+        assert [o.shape[1] for o in outs] == [4, 4, 4, 4]
+        assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
