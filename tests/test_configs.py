@@ -1,0 +1,49 @@
+"""All shipped configs must load, and every type= they reference must
+resolve in the registries (catching the reference's registration gap
+class of bug, SURVEY §2.1)."""
+import glob
+import os.path as osp
+
+import pytest
+
+from mscl_tpu import Config
+from mscl_tpu.datasets import DATASETS, PIPELINES
+from mscl_tpu.models import MODELS, SSL_AUGS
+
+CFG_ROOT = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    'configs')
+CONFIGS = [p for p in glob.glob(f'{CFG_ROOT}/**/*.py', recursive=True)
+           if '_base_' not in p]
+
+
+def iter_types(node, key_path=''):
+    if isinstance(node, dict):
+        if 'type' in node and isinstance(node['type'], str):
+            yield node['type'], key_path
+        for k, v in node.items():
+            yield from iter_types(v, f'{key_path}.{k}')
+    elif isinstance(node, (list, tuple)):
+        for v in node:
+            yield from iter_types(v, key_path)
+
+
+@pytest.mark.parametrize('cfg_path', CONFIGS,
+                         ids=[osp.basename(p) for p in CONFIGS])
+def test_config_types_resolve(cfg_path):
+    cfg = Config.fromfile(cfg_path)
+    assert 'model' in cfg
+    unresolved = []
+    for type_name, where in iter_types(cfg.to_dict()):
+        if type_name in ('TextLoggerHook', 'TensorboardLoggerHook',
+                         'SGD', 'Adam', 'AdamW', 'CopyOfSGD'):
+            continue  # hooks/optimizers are Runner/optax built-ins
+        if not (type_name in MODELS or type_name in DATASETS or
+                type_name in PIPELINES or type_name in SSL_AUGS):
+            unresolved.append((type_name, where))
+    assert not unresolved, unresolved
+
+
+def test_reference_dataset_alias():
+    # configs written against the reference still build
+    assert 'RedisRawframeDataset' in DATASETS
+    assert 'NoriDecode' in PIPELINES
