@@ -1,3 +1,4 @@
+from .activitynet_dataset import ActivityNetDataset
 from .base import BaseDataset
 from .blending import CutmixBlending, MixupBlending
 from .builder import (BLENDINGS, DATASETS, PIPELINES, build_dataloader,
@@ -13,5 +14,5 @@ __all__ = [
     'build_dataloader', 'RawframeDataset', 'VideoDataset',
     'FileRawframeDataset', 'FileRawframe2BranchDataset', 'NumpyLoader',
     'default_collate', 'RepeatDataset', 'ConcatDataset',
-    'MixupBlending', 'CutmixBlending',
+    'MixupBlending', 'CutmixBlending', 'ActivityNetDataset',
 ]

@@ -1,0 +1,6 @@
+from .proposal_utils import (average_recall_at_avg_proposals,
+                             post_processing, soft_nms, temporal_iop,
+                             temporal_iou)
+
+__all__ = ['temporal_iou', 'temporal_iop', 'soft_nms', 'post_processing',
+           'average_recall_at_avg_proposals']

@@ -1,10 +1,13 @@
 from .cross_entropy_loss import (BCELossWithLogits, CrossEntropyLoss,
                                  CrossEntropyLossTorch, NLLLoss,
                                  cross_entropy, soft_cross_entropy)
+from .bmn_loss import (BinaryLogisticRegressionLoss, BMNLoss,
+                       binary_logistic_regression_loss)
 from .circle_loss import (MultiPositiveCircleLoss, MultiPositiveSumLoss,
                           MultiPositiveUniLoss)
 
 __all__ = ['CrossEntropyLoss', 'CrossEntropyLossTorch', 'BCELossWithLogits',
            'NLLLoss', 'cross_entropy', 'soft_cross_entropy',
            'MultiPositiveSumLoss', 'MultiPositiveUniLoss',
-           'MultiPositiveCircleLoss']
+           'MultiPositiveCircleLoss', 'BMNLoss', 'BinaryLogisticRegressionLoss',
+           'binary_logistic_regression_loss']
