@@ -61,9 +61,12 @@ class ConvBN(nn.Module):
             kernel_init=kaiming_normal_fan_out(),
             dtype=self.dtype, name='conv')(x)
         if self.use_bn:
+            # BN compute follows the model dtype (keeps the conv->BN->relu
+            # chain in bf16 on TPU); statistics/params stay f32 (flax
+            # computes mean/var in f32 before casting)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name='bn')(x)
+                dtype=self.dtype, name='bn')(x)
         if self.relu:
             x = nn.relu(x)
         return x
