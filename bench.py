@@ -74,23 +74,26 @@ def main():
                    donate_argnums=0)
     device_batch = shard_batch(batch, mesh)
 
+    # NOTE: block_until_ready is unreliable on the axon remote backend
+    # (returns before execution completes) — a device_get of the loss is
+    # the only trustworthy synchronization point.
     t0 = time.time()
     for _ in range(args.warmup):
         state, log_vars = step(state, device_batch)
-    jax.block_until_ready(log_vars['loss'])
+    float(jax.device_get(log_vars['loss']))
     print(f'warmup+compile: {time.time() - t0:.1f}s', file=sys.stderr)
 
     t0 = time.time()
     for _ in range(args.steps):
         state, log_vars = step(state, device_batch)
-    jax.block_until_ready(log_vars['loss'])
+    last_loss = float(jax.device_get(log_vars['loss']))
     dt = time.time() - t0
 
     clips_per_sec = args.steps * bs / dt
     per_chip = clips_per_sec / n_chips
     print(f'{args.steps} steps in {dt:.2f}s '
           f'({dt / args.steps * 1000:.1f} ms/step), loss='
-          f'{float(log_vars["loss"]):.3f}', file=sys.stderr)
+          f'{last_loss:.3f}', file=sys.stderr)
     print(json.dumps({
         'metric': 'mscl_r18_pretrain_clips_per_sec_per_chip',
         'value': round(per_chip, 2),

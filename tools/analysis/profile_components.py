@@ -18,13 +18,18 @@ def timeit(fn, *args, warmup=2, steps=10):
     import jax
     args = jax.device_put(args)
     out = None
+    def sync(x):
+        # block_until_ready is unreliable on the axon remote backend;
+        # device_get is the only trustworthy sync
+        jax.device_get(jax.tree.leaves(x)[0].ravel()[0])
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
     for _ in range(steps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.time() - t0) / steps
 
 
@@ -34,11 +39,11 @@ def timeit_step(step, state, batch, warmup=2, steps=10):
     batch = jax.device_put(batch)
     for _ in range(warmup):
         state, log_vars = step(state, batch)
-    jax.block_until_ready(log_vars['loss'])
+    float(jax.device_get(log_vars['loss']))
     t0 = time.time()
     for _ in range(steps):
         state, log_vars = step(state, batch)
-    jax.block_until_ready(log_vars['loss'])
+    float(jax.device_get(log_vars['loss']))
     return (time.time() - t0) / steps
 
 
