@@ -1,10 +1,12 @@
-from .video_resnet import (BasicBlock3D, Bottleneck3D, ConvBN, VideoResNet)
+from .video_resnet import (BasicBlock3D, Bottleneck3D, ConvBN,
+                           ResNet2Plus1d, VideoResNet)
 
 __all__ = ['VideoResNet', 'BasicBlock3D', 'Bottleneck3D', 'ConvBN']
 from .resnet3d import (BasicBlock3d, Bottleneck3d, ResNet3d,
-                       ResNet3dSlowFast, ResNet3dSlowOnly)
+                       ResNet3dCSN, ResNet3dSlowFast, ResNet3dSlowOnly)
 
 __all__ += ['ResNet3d', 'ResNet3dSlowOnly', 'ResNet3dSlowFast',
+            'ResNet3dCSN', 'ResNet2Plus1d',
             'BasicBlock3d', 'Bottleneck3d']
 from .resnet2d import C3D, ResNet, ResNetTSM, temporal_shift
 from .x3d import X3D

@@ -295,3 +295,93 @@ class ResNet3dSlowFast(nn.Module):
         fast_last = fast_outs[-1] if isinstance(fast_outs, list) else \
             fast_outs
         return (slow_last, fast_last)
+
+
+@BACKBONES.register_module()
+class ResNet3dCSN(ResNet3d):
+    """Channel-Separated Network (ir-CSN) — parity: reference
+    mmaction/models/backbones/resnet3d_csn.py: Bottleneck3d whose 3x3x3
+    conv2 is depthwise. Implemented by marking the conv2 depthwise via
+    bottleneck_mode."""
+    bottleneck_mode: str = 'ir'
+    conv1_kernel: Sequence[int] = (3, 7, 7)
+    conv1_stride_t: int = 1
+    pool1_stride_t: int = 1
+    inflate_style: str = '3x3x3'
+    inflate: Any = (1, 1, 1, 1)
+    with_pool2: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, laterals=None):
+        assert self.bottleneck_mode in ('ir',), \
+            'only interaction-reduced CSN supported'
+        # reuse ResNet3d topology with a depthwise conv2 bottleneck
+        block_type, default_blocks = ARCH_SETTINGS[self.depth]
+        assert block_type == 'bottleneck', 'CSN requires depth >= 50'
+        stage_blocks = self.stage_blocks or \
+            default_blocks[:self.num_stages]
+        k = tuple(self.conv1_kernel)
+        x = ConvBN(self.base_channels, k,
+                   (self.conv1_stride_t, self.conv1_stride_s,
+                    self.conv1_stride_s),
+                   tuple((kk - 1) // 2 for kk in k),
+                   dtype=self.dtype, name='conv1')(x, train)
+        if self.with_pool1:
+            x = _max_pool3d(x, (1, 3, 3),
+                            (self.pool1_stride_t, self.pool1_stride_s,
+                             self.pool1_stride_s), (0, 1, 1))
+        outs = []
+        in_planes = self.base_channels
+        for i, num_blocks in enumerate(stage_blocks):
+            planes = self.base_channels * (2 ** i)
+            ss = self.spatial_strides[i]
+            ts = self.temporal_strides[i]
+            for b in range(num_blocks):
+                s_sp = ss if b == 0 else 1
+                s_t = ts if b == 0 else 1
+                need_ds = (b == 0) and (s_sp != 1 or s_t != 1 or
+                                        in_planes != planes * 4)
+                x = _CSNBottleneck(planes, s_sp, s_t, need_ds,
+                                   dtype=self.dtype,
+                                   name=f'layer{i + 1}_{b}')(x, train)
+                in_planes = planes * 4
+            outs.append(x)
+        outs = [outs[i] for i in self.out_indices]
+        return outs[0] if len(outs) == 1 else outs
+
+
+class _CSNBottleneck(nn.Module):
+    planes: int
+    spatial_stride: int = 1
+    temporal_stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = ConvBN(self.planes, (1, 1, 1), (1, 1, 1), (0, 0, 0),
+                     dtype=self.dtype, name='conv1')(x, train)
+        # depthwise 3x3x3 (the channel separation)
+        out_c = nn.Conv(self.planes, (3, 3, 3),
+                        strides=(self.temporal_stride,
+                                 self.spatial_stride,
+                                 self.spatial_stride),
+                        padding=[(1, 1)] * 3,
+                        feature_group_count=self.planes, use_bias=False,
+                        kernel_init=kaiming_normal_fan_out(),
+                        dtype=self.dtype, name='conv2_dw')(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype,
+                           name='conv2_bn')(out_c)
+        out = nn.relu(out)
+        out = ConvBN(self.planes * 4, (1, 1, 1), (1, 1, 1), (0, 0, 0),
+                     relu=False, dtype=self.dtype, name='conv3')(out,
+                                                                 train)
+        if self.downsample:
+            residual = ConvBN(self.planes * 4, (1, 1, 1),
+                              (self.temporal_stride,
+                               self.spatial_stride, self.spatial_stride),
+                              (0, 0, 0), relu=False, dtype=self.dtype,
+                              name='downsample')(x, train)
+        return nn.relu(out + residual)

@@ -265,3 +265,84 @@ _register('resnet_flow.mc3_18', block='basic',
 _register('resnet_flow.r2d_50', block='bottleneck',
           conv_makers=('no_temporal',) * 4, layers=(3, 4, 6, 3),
           stem='flow_bottleneck', base_width=8)
+
+
+class R2Plus1dBlock(nn.Module):
+    """(2+1)D factorized block: 1x3x3 spatial conv -> BN -> ReLU -> 3x1x1
+    temporal conv, with the torchvision midplane formula
+    (parity: torchvision Conv2Plus1D / reference
+    mmaction/models/backbones/resnet2plus1d.py semantics)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    def _conv2plus1d(self, x, in_planes, planes, stride, train, name):
+        mid = (in_planes * planes * 3 * 3 * 3) // \
+            (in_planes * 3 * 3 + 3 * planes)
+        x = ConvBN(mid, (1, 3, 3), (1, stride, stride), (0, 1, 1),
+                   dtype=self.dtype, name=f'{name}_s')(x, train)
+        x = nn.Conv(planes, (3, 1, 1), strides=(stride, 1, 1),
+                    padding=[(1, 1), (0, 0), (0, 0)], use_bias=False,
+                    kernel_init=kaiming_normal_fan_out(),
+                    dtype=self.dtype, name=f'{name}_t')(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        in_planes = x.shape[-1]
+        out = self._conv2plus1d(x, in_planes, self.planes, self.stride,
+                                train, 'conv1')
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype,
+                           name='bn1')(out)
+        out = nn.relu(out)
+        out = self._conv2plus1d(out, self.planes, self.planes, 1, train,
+                                'conv2')
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype,
+                           name='bn2')(out)
+        if self.downsample:
+            residual = ConvBN(self.planes, (1, 1, 1),
+                              (self.stride,) * 3, (0, 0, 0), relu=False,
+                              dtype=self.dtype, name='downsample')(
+                                  x, train)
+        return nn.relu(out + residual)
+
+
+@BACKBONES.register_module()
+class ResNet2Plus1d(nn.Module):
+    """R(2+1)D-18/34 (parity: reference
+    mmaction/models/backbones/resnet2plus1d.py / torchvision
+    r2plus1d_18): (2+1)D stem (1x7x7 then 3x1x1) + 4 stages of factorized
+    blocks."""
+    depth: int = 18
+    pretrained: Any = None
+    base_width: int = 64
+    layers: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        layers = self.layers or {18: (2, 2, 2, 2),
+                                 34: (3, 4, 6, 3)}[self.depth]
+        # R(2+1)D stem: 45 mid channels (torchvision)
+        x = ConvBN(45, (1, 7, 7), (1, 2, 2), (0, 3, 3),
+                   dtype=self.dtype, name='stem_s')(x, train)
+        x = ConvBN(self.base_width, (3, 1, 1), (1, 1, 1), (1, 0, 0),
+                   dtype=self.dtype, name='stem_t')(x, train)
+        in_planes = self.base_width
+        outs = []
+        for i, num_blocks in enumerate(layers):
+            planes = self.base_width * (2 ** i)
+            for b in range(num_blocks):
+                stride = 2 if (i > 0 and b == 0) else 1
+                need_ds = (b == 0) and (stride != 1 or
+                                        in_planes != planes)
+                x = R2Plus1dBlock(planes, stride, need_ds,
+                                  dtype=self.dtype,
+                                  name=f'layer{i + 1}_{b}')(x, train)
+                in_planes = planes
+            outs.append(x)
+        return outs
