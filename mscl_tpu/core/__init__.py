@@ -5,6 +5,7 @@ from .evaluation.accuracy import (confusion_matrix, mean_average_precision,
                                   mmit_mean_average_precision,
                                   top_k_accuracy)
 from .lr_schedule import build_lr_schedule
+from .precise_bn import precise_bn_update
 from .optimizer import build_optimizer, make_freeze_mask
 from .train_loop import Runner, TrainState, init_state, make_train_step
 
@@ -13,4 +14,4 @@ __all__ = ['confusion_matrix', 'mean_average_precision',
            'top_k_accuracy', 'build_lr_schedule', 'build_optimizer',
            'make_freeze_mask', 'Runner', 'TrainState', 'init_state',
            'make_train_step', 'save_checkpoint', 'load_checkpoint',
-           'latest_checkpoint', 'publish_model']
+           'latest_checkpoint', 'publish_model', 'precise_bn_update']

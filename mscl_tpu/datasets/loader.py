@@ -139,10 +139,35 @@ class NumpyLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _class_balanced_order(self, rng):
+        """ClassSpecificDistributedSampler semantics (reference
+        samplers/distributed_sampler.py:50-140): sample classes with
+        probability proportional to freq**power (power=0 -> uniform over
+        classes), then an instance uniformly within the class."""
+        by_class = getattr(self.dataset, 'video_infos_by_class', None)
+        power = getattr(self.dataset, 'power', 0.0)
+        labels = sorted(by_class)
+        freqs = np.array([len(by_class[c]) for c in labels], np.float64)
+        probs = freqs ** power
+        probs = probs / probs.sum()
+        class_indices = {c: [] for c in labels}
+        for i, info in enumerate(self.dataset.video_infos):
+            class_indices[info['label']].append(i)
+        n = len(self.dataset)
+        chosen_classes = rng.choice(len(labels), size=n, p=probs)
+        order = np.array([
+            class_indices[labels[c]][rng.integers(
+                len(class_indices[labels[c]]))]
+            for c in chosen_classes])
+        return order
+
     def __iter__(self):
         n = len(self.dataset)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if getattr(self.dataset, 'sample_by_class', False) and \
+                self.shuffle:
+            order = self._class_balanced_order(rng)
+        elif self.shuffle:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
