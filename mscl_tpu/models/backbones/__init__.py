@@ -12,3 +12,7 @@ from .resnet2d import C3D, ResNet, ResNetTSM, temporal_shift
 from .x3d import X3D
 
 __all__ += ['ResNet', 'ResNetTSM', 'C3D', 'X3D', 'temporal_shift']
+from .mobilenet_v2 import MobileNetV2, MobileNetV2TSM
+from .timesformer import TimeSformer
+
+__all__ += ['MobileNetV2', 'MobileNetV2TSM', 'TimeSformer']
