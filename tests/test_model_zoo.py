@@ -120,3 +120,72 @@ class TestRecognizer3DZoo:
         outs = bb.apply(v, x)
         assert [o.shape[1] for o in outs] == [4, 4, 4, 4]
         assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+
+
+class TestMoreBackbones:
+
+    def test_mobilenet_v2_tsm(self):
+        model = RECOGNIZERS.get('Recognizer2D')(
+            backbone=dict(type='MobileNetV2TSM', num_segments=4),
+            cls_head=dict(type='TSMHead', num_classes=5,
+                          in_channels=1280, num_segments=4,
+                          dropout_ratio=0.0))
+        batch = {'imgs': np.random.rand(2, 4, 3, 32, 32).astype(
+            np.float32), 'label': np.array([0, 1])}
+        run_one_step(model, batch)
+
+    def test_timesformer(self):
+        bb = BACKBONES.get('TimeSformer')(
+            num_frames=4, img_size=32, patch_size=8, embed_dims=64,
+            num_heads=4, num_transformer_layers=2)
+        x = jnp.zeros((2, 4, 32, 32, 3))
+        v = bb.init(jax.random.PRNGKey(0), x)
+        out = bb.apply(v, x)
+        assert out.shape == (2, 64)
+
+    def test_r2plus1d(self):
+        bb = BACKBONES.get('ResNet2Plus1d')(depth=18)
+        x = jnp.zeros((1, 4, 32, 32, 3))
+        v = bb.init(jax.random.PRNGKey(0), x)
+        outs = bb.apply(v, x)
+        assert outs[-1].shape[-1] == 512
+
+    def test_csn(self):
+        bb = BACKBONES.get('ResNet3dCSN')(depth=50, pretrained=None)
+        x = jnp.zeros((1, 4, 32, 32, 3))
+        v = bb.init(jax.random.PRNGKey(0), x)
+        out = bb.apply(v, x)
+        assert out.shape[-1] == 2048
+
+
+class TestSSN:
+
+    def test_train_step(self):
+        per_video, num_seg = 8, 9
+        model = RECOGNIZERS.get('SSN')(
+            backbone=dict(type='ResNet', depth=18),
+            cls_head=dict(type='SSNHead', in_channels=512, num_classes=4,
+                          consensus=dict(type='STPPTrain',
+                                         stpp_stage=(1, 1, 1),
+                                         num_seg=(2, 5, 2)),
+                          dropout_ratio=0.0, use_regression=True),
+            train_cfg=dict(ssn=dict(
+                sampler=dict(num_per_video=8, positive_ratio=1,
+                             background_ratio=1, incomplete_ratio=6),
+                loss_weight=dict(comp_loss_weight=0.1,
+                                 reg_loss_weight=0.1))))
+        rng = np.random.default_rng(0)
+        B = 2
+        batch = dict(
+            imgs=rng.random((B, per_video * num_seg, 3, 24, 24)).astype(
+                np.float32),
+            proposal_scale_factor=rng.random(
+                (B, per_video, 2)).astype(np.float32),
+            proposal_type=np.tile([0] + [1] * 6 + [2], B).astype(
+                np.int32),
+            proposal_labels=rng.integers(
+                1, 5, size=(B * per_video,)).astype(np.int32),
+            reg_targets=rng.random((B, per_video, 2)).astype(np.float32))
+        log_vars = run_one_step(model, batch)
+        for k in ('loss_activity', 'loss_completeness', 'loss_reg'):
+            assert k in log_vars
