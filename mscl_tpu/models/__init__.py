@@ -9,6 +9,7 @@ from . import losses  # noqa: F401
 from . import common  # noqa: F401
 from . import recognizers  # noqa: F401
 from . import localizers  # noqa: F401
+from . import detection  # noqa: F401
 
 __all__ = ['MODELS', 'BACKBONES', 'NECKS', 'HEADS', 'RECOGNIZERS', 'LOSSES',
            'SSL_AUGS', 'build_backbone', 'build_neck', 'build_head',

@@ -1,0 +1,187 @@
+"""AVA spatio-temporal detection stack (compact round-1 version).
+
+Parity targets:
+  - SingleRoIExtractor3D (reference mmaction/models/roi_extractors/
+    single_straight3d.py:28-128): temporal pool the 3D feature map, run
+    per-frame RoIAlign, optional global-feature concat.
+  - BBoxHeadAVA (reference mmaction/models/heads/bbox_head.py:15-200):
+    temporal+spatial pooled RoI feature -> fc; focal BCE multilabel loss
+    and recall/precision@thr/topk metrics.
+  - AVAFastRCNN training path: proposals + assigned multilabel targets are
+    produced host-side (the mmdet assigner/sampler machinery is a round-2
+    item); the jitted step consumes fixed-size padded RoI batches.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .builder import BACKBONES, HEADS, RECOGNIZERS
+from .recognizers.base import parse_losses
+from .recognizers.recognizer3d import to_nthwc
+from ..ops.roi_align import roi_align
+
+
+@HEADS.register_module()
+class SingleRoIExtractor3D(nn.Module):
+    roi_layer_type: str = 'RoIAlign'
+    featmap_stride: int = 16
+    output_size: int = 8
+    sampling_ratio: int = 2
+    pool_mode: str = 'avg'
+    aligned: bool = True
+    with_temporal_pool: bool = True
+    temporal_pool_mode: str = 'avg'
+    with_global: bool = False
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, rois: jnp.ndarray):
+        """feat: (N, T, H, W, C); rois: (R, 5). Returns
+        (R, T', output, output, C)."""
+        if self.with_temporal_pool:
+            if self.temporal_pool_mode == 'avg':
+                feat = feat.mean(axis=1, keepdims=True)
+            else:
+                feat = feat.max(axis=1, keepdims=True)
+        t = feat.shape[1]
+        roi_feats = []
+        for i in range(t):
+            rf = roi_align(feat[:, i], rois, self.output_size,
+                           1.0 / self.featmap_stride,
+                           self.sampling_ratio, self.aligned)
+            if self.with_global:
+                inds = rois[:, 0].astype(jnp.int32)
+                gf = jax.image.resize(
+                    feat[:, i],
+                    (feat.shape[0], self.output_size, self.output_size,
+                     feat.shape[-1]), method='linear')[inds]
+                rf = jnp.concatenate([rf, gf], axis=-1)
+            roi_feats.append(rf)
+        return jnp.stack(roi_feats, axis=1)
+
+
+@HEADS.register_module()
+class BBoxHeadAVA(nn.Module):
+    temporal_pool_type: str = 'avg'
+    spatial_pool_type: str = 'max'
+    in_channels: int = 2048
+    focal_gamma: float = 0.0
+    focal_alpha: float = 1.0
+    num_classes: int = 81
+    dropout_ratio: float = 0.0
+    dropout_before_pool: bool = True
+    topk: Tuple[int, ...] = (3, 5)
+    multilabel: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (R, T, h, w, C) RoI features -> (R, num_classes) logits."""
+        if self.dropout_before_pool and self.dropout_ratio > 0:
+            x = nn.Dropout(rate=self.dropout_ratio,
+                           deterministic=not train)(x)
+        x = x.mean(axis=1) if self.temporal_pool_type == 'avg' else \
+            x.max(axis=1)
+        x = x.mean(axis=(1, 2)) if self.spatial_pool_type == 'avg' else \
+            x.max(axis=(1, 2))
+        if not self.dropout_before_pool and self.dropout_ratio > 0:
+            x = nn.Dropout(rate=self.dropout_ratio,
+                           deterministic=not train)(x)
+        return nn.Dense(self.num_classes,
+                        kernel_init=nn.initializers.normal(0.01),
+                        bias_init=nn.initializers.zeros,
+                        dtype=self.dtype, name='fc_cls')(x)
+
+    def loss(self, cls_score, labels, valid_mask=None) -> Dict:
+        """Focal BCE over multilabel targets, first class (pos/neg)
+        excluded from the loss (reference bbox_head.py:170-210)."""
+        score = cls_score[:, 1:]
+        target = labels[:, 1:]
+        p = jax.nn.sigmoid(score)
+        bce = jnp.maximum(score, 0) - score * target + \
+            jnp.log1p(jnp.exp(-jnp.abs(score)))
+        pt = jnp.where(target > 0.5, p, 1 - p)
+        focal = self.focal_alpha * ((1 - pt) ** self.focal_gamma) * bce
+        if valid_mask is not None:
+            focal = focal * valid_mask[:, None]
+            denom = jnp.maximum(valid_mask.sum(), 1.0)
+            loss = focal.sum(axis=1).sum() / denom
+        else:
+            loss = focal.sum(axis=1).mean()
+        losses = {'loss_action_cls': loss}
+        pred_vec = (p > 0.5)
+        target_vec = target > 0.5
+        tsum = jnp.maximum(target_vec.sum(axis=1), 1)
+        correct = (pred_vec & target_vec).sum(axis=1)
+        losses['recall@thr=0.5'] = jax.lax.stop_gradient(
+            (correct / tsum).mean())
+        losses['prec@thr=0.5'] = jax.lax.stop_gradient(
+            (correct / jnp.maximum(pred_vec.sum(axis=1), 1e-6)).mean())
+        for k in self.topk:
+            _, idx = jax.lax.top_k(p, k)
+            onehot = jnp.zeros_like(p).at[
+                jnp.arange(p.shape[0])[:, None], idx].set(1.0) > 0.5
+            ck = (onehot & target_vec).sum(axis=1)
+            losses[f'recall@top{k}'] = jax.lax.stop_gradient(
+                (ck / tsum).mean())
+            losses[f'prec@top{k}'] = jax.lax.stop_gradient(
+                (ck / k).mean())
+        return losses
+
+
+@RECOGNIZERS.register_module()
+class AVAFastRCNN(nn.Module):
+    """Fast-RCNN-style AVA action detector: 3D backbone -> RoI extract ->
+    multilabel action head. Proposals and multilabel targets come from
+    the batch (host-side assignment)."""
+    backbone: Any = None
+    roi_head: Any = None       # dict(bbox_roi_extractor=..., bbox_head=...)
+    train_cfg: Any = None
+    test_cfg: Any = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        bb_cfg = dict(self.backbone)
+        bb_type = bb_cfg.pop('type')
+        bb_cfg.pop('pretrained', None)
+        self.backbone_m = BACKBONES.get(bb_type)(dtype=self.dtype,
+                                                 **bb_cfg)
+        rh = dict(self.roi_head or {})
+        ext_cfg = dict(rh.get('bbox_roi_extractor',
+                              dict(type='SingleRoIExtractor3D')))
+        ext_cfg.pop('type', None)
+        self.roi_extractor = SingleRoIExtractor3D(**ext_cfg)
+        head_cfg = dict(rh.get('bbox_head', dict(type='BBoxHeadAVA')))
+        head_cfg.pop('type', None)
+        self.bbox_head = BBoxHeadAVA(dtype=self.dtype, **head_cfg)
+
+    def extract_feat(self, imgs, train=False):
+        feats = self.backbone_m(to_nthwc(imgs), train=train)
+        return feats[-1] if isinstance(feats, list) else feats
+
+    def forward_train(self, imgs, rois, labels, valid_mask=None,
+                      train: bool = True) -> Dict:
+        feat = self.extract_feat(imgs, train)
+        roi_feats = self.roi_extractor(feat, rois)
+        cls_score = self.bbox_head(roi_feats, train=train)
+        return self.bbox_head.loss(cls_score, labels, valid_mask)
+
+    def forward_test(self, imgs, rois):
+        feat = self.extract_feat(imgs, train=False)
+        roi_feats = self.roi_extractor(feat, rois)
+        return jax.nn.sigmoid(self.bbox_head(roi_feats, train=False))
+
+    def __call__(self, imgs, rois, labels=None, train: bool = False,
+                 return_loss: bool = True, **kwargs):
+        if return_loss and labels is not None:
+            return self.forward_train(imgs, rois, labels, train=train)
+        return self.forward_test(imgs, rois)
+
+    def train_step(self, batch, train: bool = True):
+        losses = self.forward_train(batch['imgs'], batch['rois'],
+                                    batch['labels'],
+                                    batch.get('valid_mask'), train=train)
+        return parse_losses(losses)
