@@ -323,15 +323,21 @@ def build_ema_fn(model):
     if isinstance(rec_cfg, dict) and isinstance(flow_cfg, dict):
         sched_rgb = momentum_schedule_from_cfg(rec_cfg['type'], rec_cfg)
         sched_flow = momentum_schedule_from_cfg(flow_cfg['type'], flow_cfg)
+        # MSCLWithAug runs the flow tower twice per step (base + FRA), and
+        # the reference momentum-updates the key encoder inside EVERY
+        # forward (moco.py:528-530) — so the flow tower's per-step EMA is
+        # m applied twice; reproduce with m_eff = m**passes.
+        flow_passes = 2 if type(model).__name__ == 'MSCLWithAug' else 1
 
         def fn(params, moco_state):
             out = dict(params)
             out['recognizer_m'] = tree_ema_pairs(
                 params['recognizer_m'],
                 sched_rgb(moco_state['recognizer_m']['iters']))
+            m_flow = sched_flow(
+                moco_state['recognizer_flow_m']['iters']) ** flow_passes
             out['recognizer_flow_m'] = tree_ema_pairs(
-                params['recognizer_flow_m'],
-                sched_flow(moco_state['recognizer_flow_m']['iters']))
+                params['recognizer_flow_m'], m_flow)
             return out
         return fn
     return None
