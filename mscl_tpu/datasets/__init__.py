@@ -1,4 +1,5 @@
 from .activitynet_dataset import ActivityNetDataset
+from .ava_dataset import AVADataset, SampleAVAFrames
 from .base import BaseDataset
 from .blending import CutmixBlending, MixupBlending
 from .builder import (BLENDINGS, DATASETS, PIPELINES, build_dataloader,
@@ -15,4 +16,5 @@ __all__ = [
     'FileRawframeDataset', 'FileRawframe2BranchDataset', 'NumpyLoader',
     'default_collate', 'RepeatDataset', 'ConcatDataset',
     'MixupBlending', 'CutmixBlending', 'ActivityNetDataset',
+    'AVADataset', 'SampleAVAFrames',
 ]

@@ -1,6 +1,7 @@
+from .det_eval import box_iou, frame_map
 from .proposal_utils import (average_recall_at_avg_proposals,
                              post_processing, soft_nms, temporal_iop,
                              temporal_iou)
 
 __all__ = ['temporal_iou', 'temporal_iop', 'soft_nms', 'post_processing',
-           'average_recall_at_avg_proposals']
+           'average_recall_at_avg_proposals', 'box_iou', 'frame_map']

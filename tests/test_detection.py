@@ -73,3 +73,55 @@ class TestAVAFastRCNN:
             return_loss=False)
         assert scores.shape == (R, 11)
         assert float(scores.min()) >= 0 and float(scores.max()) <= 1
+
+
+class TestAVADataset:
+
+    def test_csv_parsing_and_map(self, tmp_path):
+        from mscl_tpu.datasets import AVADataset
+        from mscl_tpu.localization import frame_map
+        csv_path = tmp_path / 'ava.csv'
+        csv_path.write_text(
+            'vidA,902,0.1,0.1,0.5,0.5,3,0\n'
+            'vidA,902,0.1,0.1,0.5,0.5,5,0\n'
+            'vidA,903,0.2,0.2,0.6,0.6,3,1\n')
+        ds = AVADataset(str(csv_path), pipeline=[], num_classes=8,
+                        data_prefix=str(tmp_path))
+        assert len(ds) == 2
+        info = ds.video_infos[0]
+        # same box with two actions collapses to one multilabel record
+        assert info['gt_bboxes'].shape == (1, 4)
+        assert info['gt_labels'][0][3] == 1
+        assert info['gt_labels'][0][5] == 1
+
+        gts = [dict(bboxes=info['gt_bboxes'], labels=info['gt_labels'])]
+        scores = np.zeros((1, 8))
+        scores[0, 3] = 0.9
+        scores[0, 5] = 0.8
+        dets = [dict(bboxes=info['gt_bboxes'], scores=scores)]
+        assert frame_map(dets, gts, num_classes=8) == pytest.approx(1.0)
+
+    def test_map_penalizes_misses(self):
+        from mscl_tpu.localization import frame_map
+        gt_boxes = np.array([[0.1, 0.1, 0.5, 0.5],
+                             [0.6, 0.6, 0.9, 0.9]], np.float32)
+        labels = np.zeros((2, 4), np.float32)
+        labels[:, 2] = 1
+        gts = [dict(bboxes=gt_boxes, labels=labels)]
+        # detect only the first box
+        scores = np.zeros((1, 4))
+        scores[0, 2] = 0.9
+        dets = [dict(bboxes=gt_boxes[:1], scores=scores)]
+        m = frame_map(dets, gts, num_classes=4)
+        assert m == pytest.approx(0.5)
+
+    def test_sample_ava_frames(self):
+        from mscl_tpu.datasets import SampleAVAFrames
+        t = SampleAVAFrames(clip_len=4, frame_interval=2, test_mode=True)
+        results = dict(fps=30, timestamp=902, timestamp_start=900,
+                       shot_info=(0, 27000))
+        out = t(results)
+        assert len(out['frame_inds']) == 4
+        # centered on frame 30*(902-900)+1 = 61
+        assert out['frame_inds'][out['frame_inds'].shape[0] // 2] in (
+            61, 63)
