@@ -16,3 +16,6 @@ from .mobilenet_v2 import MobileNetV2, MobileNetV2TSM
 from .timesformer import TimeSformer
 
 __all__ += ['MobileNetV2', 'MobileNetV2TSM', 'TimeSformer']
+from .s3d import S3D, SepConv3d
+
+__all__ += ['S3D', 'SepConv3d']
