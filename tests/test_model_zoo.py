@@ -157,6 +157,13 @@ class TestMoreBackbones:
         out = bb.apply(v, x)
         assert out.shape[-1] == 2048
 
+    def test_s3d(self):
+        bb = BACKBONES.get('S3D')()
+        x = jnp.zeros((1, 8, 64, 64, 3))
+        v = bb.init(jax.random.PRNGKey(0), x)
+        out = bb.apply(v, x)
+        assert out.shape[-1] == 1024
+
 
 class TestSSN:
 
@@ -189,10 +196,3 @@ class TestSSN:
         log_vars = run_one_step(model, batch)
         for k in ('loss_activity', 'loss_completeness', 'loss_reg'):
             assert k in log_vars
-
-    def test_s3d(self):
-        bb = BACKBONES.get('S3D')()
-        x = jnp.zeros((1, 8, 64, 64, 3))
-        v = bb.init(jax.random.PRNGKey(0), x)
-        out = bb.apply(v, x)
-        assert out.shape[-1] == 1024
