@@ -19,3 +19,6 @@ __all__ += ['MobileNetV2', 'MobileNetV2TSM', 'TimeSformer']
 from .s3d import S3D, SepConv3d
 
 __all__ += ['S3D', 'SepConv3d']
+from .tanet import TAM, TANet
+
+__all__ += ['TANet', 'TAM']

@@ -1,0 +1,121 @@
+"""TANet — ResNet with Temporal Adaptive Modules (flax, NHWC frames).
+
+Parity: reference mmaction/models/backbones/tanet.py (+ mmaction TAM):
+each residual block's first conv is preceded by a TAM that (a) re-weights
+frames with a per-video temporal attention (local branch: temporal convs
+over the time axis) and (b) convolves each channel over time with a
+video-adaptive kernel (global branch: FC -> softmax kernel of size
+adaptive_kernel_size, applied depthwise along T).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import BACKBONES
+from .resnet2d import ARCH, BasicBlock2d, Bottleneck2d, ConvBN2d
+
+
+class TAM(nn.Module):
+    num_segments: int = 8
+    alpha: int = 2
+    adaptive_kernel_size: int = 3
+    beta: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (N*T, H, W, C)
+        nt, h, w, c = x.shape
+        t = self.num_segments
+        n = nt // t
+        xt = x.reshape(n, t, h, w, c)
+        # global spatial pool -> (N, T, C)
+        theta = xt.mean(axis=(2, 3))
+
+        # global branch: adaptive per-channel temporal kernel
+        g = jnp.swapaxes(theta, 1, 2).reshape(n * c, t)  # (N*C, T)
+        g = nn.Dense(t * self.alpha, dtype=self.dtype, name='g_fc1')(g)
+        g = nn.relu(
+            nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name='g_bn')(g))
+        g = nn.Dense(self.adaptive_kernel_size, dtype=self.dtype,
+                     name='g_fc2')(g)
+        kernel = jax.nn.softmax(g, axis=-1)  # (N*C, K)
+
+        # local branch: temporal attention over frames
+        l = jnp.swapaxes(theta, 1, 2)  # (N, C, T)
+        l = nn.Conv(c // self.beta, (3,), padding=[(1, 1)],
+                    dtype=self.dtype, name='l_conv1')(
+                        jnp.swapaxes(l, 1, 2))      # (N, T, C//beta)
+        l = nn.relu(
+            nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name='l_bn')(l))
+        l = nn.Conv(c, (3,), padding=[(1, 1)], dtype=self.dtype,
+                    name='l_conv2')(l)              # (N, T, C)
+        attn = nn.sigmoid(l)
+        xt = xt * attn[:, :, None, None, :]
+
+        # depthwise adaptive temporal conv: per (video, channel) kernel
+        k = self.adaptive_kernel_size
+        pad = k // 2
+        seq = jnp.moveaxis(xt, -1, 1).reshape(n * c, t, h * w)
+        seq = jnp.pad(seq, ((0, 0), (pad, pad), (0, 0)))
+        out = sum(kernel[:, i][:, None, None] * seq[:, i:i + t]
+                  for i in range(k))
+        out = out.reshape(n, c, t, h, w)
+        out = jnp.moveaxis(out, 1, -1)
+        return out.reshape(nt, h, w, c)
+
+
+class TABlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    block_type: str = 'bottleneck'
+    num_segments: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = TAM(num_segments=self.num_segments, dtype=self.dtype,
+                name='tam')(x, train)
+        cls = BasicBlock2d if self.block_type == 'basic' else Bottleneck2d
+        # residual over the TAM output (TAM replaces the identity input
+        # of the wrapped block, reference tanet TABlock)
+        return cls(self.planes, self.stride, self.downsample,
+                   dtype=self.dtype, name='block')(y, train)
+
+
+@BACKBONES.register_module()
+class TANet(nn.Module):
+    depth: int = 50
+    num_segments: int = 8
+    pretrained: Any = None
+    tam_cfg: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_type, blocks = ARCH[self.depth]
+        expansion = 1 if block_type == 'basic' else 4
+        x = ConvBN2d(64, (7, 7), (2, 2), (3, 3), dtype=self.dtype,
+                     name='conv1')(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)])
+        in_planes = 64
+        for i in range(4):
+            planes = 64 * (2 ** i)
+            stride0 = 1 if i == 0 else 2
+            for b in range(blocks[i]):
+                stride = stride0 if b == 0 else 1
+                need_ds = (b == 0) and (stride != 1 or
+                                        in_planes != planes * expansion)
+                x = TABlock(planes, stride, need_ds, block_type,
+                            self.num_segments, dtype=self.dtype,
+                            name=f'layer{i + 1}_{b}')(x, train)
+                in_planes = planes * expansion
+        return x
