@@ -164,6 +164,13 @@ class TestMoreBackbones:
         out = bb.apply(v, x)
         assert out.shape[-1] == 1024
 
+    def test_tanet(self):
+        bb = BACKBONES.get('TANet')(depth=18, num_segments=4)
+        x = jnp.zeros((8, 32, 32, 3))
+        v = bb.init(jax.random.PRNGKey(0), x)
+        out, _ = bb.apply(v, x, train=True, mutable=['batch_stats'])
+        assert out.shape == (8, 1, 1, 512)
+
 
 class TestSSN:
 
