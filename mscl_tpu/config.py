@@ -96,6 +96,7 @@ def _merge_a_into_b(a: dict, b: dict) -> dict:
     value entirely (mmcv semantics used throughout the reference configs).
     """
     b = copy.deepcopy(b)
+    a = copy.deepcopy(a)  # side-effect free: _delete_ is stripped below
     for k, v in a.items():
         if isinstance(v, dict) and k in b and isinstance(b[k], dict) \
                 and not v.pop(DELETE_KEY, False):

@@ -21,9 +21,13 @@ from flax import serialization
 
 
 def save_checkpoint(state_dict: Dict[str, Any], work_dir: str,
-                    epoch: int, meta: Optional[Dict] = None) -> str:
+                    epoch: int, meta: Optional[Dict] = None,
+                    prefix: str = '') -> str:
+    """prefix != '' writes an auxiliary checkpoint (e.g. the eval hook's
+    best_<metric>_ one) that does NOT move the 'latest' resume pointer."""
     os.makedirs(work_dir, exist_ok=True)
-    path = osp.join(work_dir, f'epoch_{epoch}.ckpt')
+    name = f'{prefix}epoch_{epoch}.ckpt'
+    path = osp.join(work_dir, name)
     host_state = jax.device_get(state_dict)
     with open(path, 'wb') as f:
         f.write(serialization.msgpack_serialize(
@@ -31,8 +35,9 @@ def save_checkpoint(state_dict: Dict[str, Any], work_dir: str,
     meta = dict(meta or {}, epoch=epoch)
     with open(path + '.meta.json', 'w') as f:
         json.dump(meta, f)
-    with open(osp.join(work_dir, 'latest'), 'w') as f:
-        f.write(f'epoch_{epoch}.ckpt')
+    if not prefix:
+        with open(osp.join(work_dir, 'latest'), 'w') as f:
+            f.write(name)
     return path
 
 

@@ -143,6 +143,18 @@ class Runner:
         self.eval_simple = eval_cfg.get('simple', False)
         self.eval_metrics = eval_cfg.get(
             'metrics', ['top_k_accuracy'])
+        # save_best semantics (reference core/evaluation/eval_hooks.py:
+        # 51-416): track a key metric across validations and keep a
+        # best_* checkpoint. rule inferred from the key when not given.
+        self.save_best = eval_cfg.get('save_best')
+        rule = eval_cfg.get('rule')
+        if rule is None and self.save_best:
+            less_keys = ('loss',)
+            rule = 'less' if any(k in self.save_best
+                                 for k in less_keys) else 'greater'
+        self.best_rule = rule
+        self.best_score = None
+        self.best_ckpt_path = None
 
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
@@ -197,42 +209,71 @@ class Runner:
         self.train_loader.set_epoch(self.epoch)
         n_batches = len(self.train_loader)
         t_end = time.time()
-        for i, batch in enumerate(self.train_loader):
-            data_time = time.time() - t_end
-            device_batch = shard_batch(batch, self.mesh)
-            state, log_vars = self._train_step(state, device_batch)
-            if (i + 1) % self.log_interval == 0 or i + 1 == n_batches:
-                log_vars = jax.device_get(log_vars)
-                step = int(jax.device_get(state.step))
-                lr = float(self.lr_schedule(step)) if self.lr_schedule \
-                    else None
-                iter_time = time.time() - t_end
-                self.log(dict(mode='train', epoch=self.epoch + 1,
-                              iter=i + 1, total_iters=n_batches, lr=lr,
-                              time=iter_time, data_time=data_time,
-                              **log_vars))
-            t_end = time.time()
+        it = iter(self.train_loader)
+        try:
+            for i, batch in enumerate(it):
+                data_time = time.time() - t_end
+                device_batch = shard_batch(batch, self.mesh)
+                state, log_vars = self._train_step(state, device_batch)
+                if (i + 1) % self.log_interval == 0 or i + 1 == n_batches:
+                    log_vars = jax.device_get(log_vars)
+                    step = int(jax.device_get(state.step))
+                    lr = float(self.lr_schedule(step)) if self.lr_schedule \
+                        else None
+                    iter_time = time.time() - t_end
+                    self.log(dict(mode='train', epoch=self.epoch + 1,
+                                  iter=i + 1, total_iters=n_batches, lr=lr,
+                                  time=iter_time, data_time=data_time,
+                                  **log_vars))
+                t_end = time.time()
+        finally:
+            if hasattr(it, 'close'):
+                it.close()  # stop the prefetch producer on early exit
         return state
 
     def validate(self, state: TrainState) -> TrainState:
         if self.val_loader is None:
             return state
+        metrics = None
         if self.eval_simple:
             # SSL validation: average train-step losses over val data
             meters: Dict[str, list] = {}
-            for batch in self.val_loader:
-                device_batch = shard_batch(batch, self.mesh)
-                _, log_vars = self._val_step(state, device_batch)
-                for k, v in jax.device_get(log_vars).items():
-                    meters.setdefault(k, []).append(float(v))
-            self.log(dict(mode='val', epoch=self.epoch,
-                          **{k: float(np.mean(v))
-                             for k, v in meters.items()}))
+            it = iter(self.val_loader)
+            try:
+                for batch in it:
+                    device_batch = shard_batch(batch, self.mesh)
+                    _, log_vars = self._val_step(state, device_batch)
+                    for k, v in jax.device_get(log_vars).items():
+                        meters.setdefault(k, []).append(float(v))
+            finally:
+                if hasattr(it, 'close'):
+                    it.close()
+            metrics = {k: float(np.mean(v)) for k, v in meters.items()}
+            self.log(dict(mode='val', epoch=self.epoch, **metrics))
         elif self.eval_fn is not None:
             results = self.eval_fn(state, self.val_loader)
             metrics = self.val_dataset.evaluate(
                 results, metrics=self.eval_metrics)
             self.log(dict(mode='val', epoch=self.epoch, **metrics))
+        if self.save_best and metrics and self.save_best in metrics:
+            score = float(metrics[self.save_best])
+            better = (self.best_score is None or
+                      (score > self.best_score
+                       if self.best_rule == 'greater'
+                       else score < self.best_score))
+            if better:
+                self.best_score = score
+                if self.best_ckpt_path and \
+                        osp.exists(self.best_ckpt_path):
+                    os.remove(self.best_ckpt_path)
+                    if osp.exists(self.best_ckpt_path + '.meta.json'):
+                        os.remove(self.best_ckpt_path + '.meta.json')
+                self.best_ckpt_path = save_checkpoint(
+                    _state_to_dict(state), self.work_dir, self.epoch,
+                    prefix=f'best_{self.save_best}_'.replace('/', '_'))
+                self.log(dict(mode='val', epoch=self.epoch,
+                              best_score=score,
+                              best_ckpt=self.best_ckpt_path))
         return state
 
 

@@ -89,7 +89,15 @@ class _EpochIterator:
                         t.join()
                 else:
                     samples = [self._load_one(i) for i in inds]
-                self._q.put(self.loader.collate_fn(samples))
+                batch = self.loader.collate_fn(samples)
+                # timeout-put loop so a producer blocked on a full queue
+                # still observes close() (no daemon-thread leak)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # surface worker errors to the consumer
             self._q.put(e)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import BACKBONES
-from .resnet2d import ARCH, BasicBlock2d, Bottleneck2d, ConvBN2d
+from .resnet2d import ARCH, ConvBN2d
 
 
 class TAM(nn.Module):
@@ -37,25 +37,28 @@ class TAM(nn.Module):
         theta = xt.mean(axis=(2, 3))
 
         # global branch: adaptive per-channel temporal kernel
+        # (reference tam.py G: Linear/BN/ReLU/Linear/Softmax, bias-free)
         g = jnp.swapaxes(theta, 1, 2).reshape(n * c, t)  # (N*C, T)
-        g = nn.Dense(t * self.alpha, dtype=self.dtype, name='g_fc1')(g)
+        g = nn.Dense(t * self.alpha, use_bias=False, dtype=self.dtype,
+                     name='g_fc1')(g)
         g = nn.relu(
             nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name='g_bn')(g))
-        g = nn.Dense(self.adaptive_kernel_size, dtype=self.dtype,
-                     name='g_fc2')(g)
+        g = nn.Dense(self.adaptive_kernel_size, use_bias=False,
+                     dtype=self.dtype, name='g_fc2')(g)
         kernel = jax.nn.softmax(g, axis=-1)  # (N*C, K)
 
-        # local branch: temporal attention over frames
+        # local branch: temporal attention over frames (reference tam.py
+        # L: Conv1d k3 / BN / ReLU / Conv1d k1 / Sigmoid, bias-free)
         l = jnp.swapaxes(theta, 1, 2)  # (N, C, T)
         l = nn.Conv(c // self.beta, (3,), padding=[(1, 1)],
-                    dtype=self.dtype, name='l_conv1')(
+                    use_bias=False, dtype=self.dtype, name='l_conv1')(
                         jnp.swapaxes(l, 1, 2))      # (N, T, C//beta)
         l = nn.relu(
             nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name='l_bn')(l))
-        l = nn.Conv(c, (3,), padding=[(1, 1)], dtype=self.dtype,
-                    name='l_conv2')(l)              # (N, T, C)
+        l = nn.Conv(c, (1,), padding=[(0, 0)], use_bias=False,
+                    dtype=self.dtype, name='l_conv2')(l)  # (N, T, C)
         attn = nn.sigmoid(l)
         xt = xt * attn[:, :, None, None, :]
 
@@ -81,13 +84,36 @@ class TABlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = TAM(num_segments=self.num_segments, dtype=self.dtype,
-                name='tam')(x, train)
-        cls = BasicBlock2d if self.block_type == 'basic' else Bottleneck2d
-        # residual over the TAM output (TAM replaces the identity input
-        # of the wrapped block, reference tanet TABlock)
-        return cls(self.planes, self.stride, self.downsample,
-                   dtype=self.dtype, name='block')(y, train)
+        # Reference TABlock (tanet.py:44-70): the TAM is embedded AFTER
+        # the block's conv1 (so its width is conv1's output channels) and
+        # the residual identity is the pre-TAM block input x. The
+        # reference only implements the Bottleneck pattern; the basic
+        # pattern here follows the same conv1->TAM placement.
+        residual = x
+        tam = TAM(num_segments=self.num_segments, dtype=self.dtype,
+                  name='tam')
+        if self.block_type == 'basic':
+            y = ConvBN2d(self.planes, (3, 3), (self.stride,) * 2, (1, 1),
+                         dtype=self.dtype, name='conv1')(x, train)
+            y = tam(y, train)
+            y = ConvBN2d(self.planes, (3, 3), (1, 1), (1, 1), relu=False,
+                         dtype=self.dtype, name='conv2')(y, train)
+            out_ch = self.planes
+        else:
+            y = ConvBN2d(self.planes, (1, 1), (1, 1), (0, 0),
+                         dtype=self.dtype, name='conv1')(x, train)
+            y = tam(y, train)
+            y = ConvBN2d(self.planes, (3, 3), (self.stride,) * 2, (1, 1),
+                         dtype=self.dtype, name='conv2')(y, train)
+            y = ConvBN2d(self.planes * 4, (1, 1), (1, 1), (0, 0),
+                         relu=False, dtype=self.dtype, name='conv3')(
+                             y, train)
+            out_ch = self.planes * 4
+        if self.downsample:
+            residual = ConvBN2d(out_ch, (1, 1), (self.stride,) * 2,
+                                (0, 0), relu=False, dtype=self.dtype,
+                                name='downsample')(x, train)
+        return nn.relu(y + residual)
 
 
 @BACKBONES.register_module()

@@ -97,38 +97,45 @@ class BBoxHeadAVA(nn.Module):
 
     def loss(self, cls_score, labels, valid_mask=None) -> Dict:
         """Focal BCE over multilabel targets, first class (pos/neg)
-        excluded from the loss (reference bbox_head.py:170-210)."""
+        excluded from the loss (reference bbox_head.py:169-201).
+
+        Reference semantics, expressed with static-shape masking:
+        only RoIs with >=1 positive label contribute (reference
+        ``pos_inds = labels.sum(-1) > 0`` at bbox_head.py:183), and the
+        reduction is ``torch.mean`` over all (roi, class) elements of
+        the kept rows — NOT a sum over classes."""
         score = cls_score[:, 1:]
         target = labels[:, 1:]
+        pos = (target.sum(axis=-1) > 0).astype(score.dtype)
+        if valid_mask is not None:
+            pos = pos * valid_mask
+        n_valid = jnp.maximum(pos.sum(), 1.0)
         p = jax.nn.sigmoid(score)
         bce = jnp.maximum(score, 0) - score * target + \
             jnp.log1p(jnp.exp(-jnp.abs(score)))
         pt = jnp.where(target > 0.5, p, 1 - p)
         focal = self.focal_alpha * ((1 - pt) ** self.focal_gamma) * bce
-        if valid_mask is not None:
-            focal = focal * valid_mask[:, None]
-            denom = jnp.maximum(valid_mask.sum(), 1.0)
-            loss = focal.sum(axis=1).sum() / denom
-        else:
-            loss = focal.sum(axis=1).mean()
+        # element-wise mean over valid (roi, class) entries
+        loss = (focal * pos[:, None]).sum() / (n_valid * score.shape[1])
         losses = {'loss_action_cls': loss}
+
+        def row_mean(v):  # mean over valid RoIs only
+            return jax.lax.stop_gradient((v * pos).sum() / n_valid)
+
         pred_vec = (p > 0.5)
         target_vec = target > 0.5
         tsum = jnp.maximum(target_vec.sum(axis=1), 1)
         correct = (pred_vec & target_vec).sum(axis=1)
-        losses['recall@thr=0.5'] = jax.lax.stop_gradient(
-            (correct / tsum).mean())
-        losses['prec@thr=0.5'] = jax.lax.stop_gradient(
-            (correct / jnp.maximum(pred_vec.sum(axis=1), 1e-6)).mean())
+        losses['recall@thr=0.5'] = row_mean(correct / tsum)
+        losses['prec@thr=0.5'] = row_mean(
+            correct / jnp.maximum(pred_vec.sum(axis=1), 1e-6))
         for k in self.topk:
             _, idx = jax.lax.top_k(p, k)
             onehot = jnp.zeros_like(p).at[
                 jnp.arange(p.shape[0])[:, None], idx].set(1.0) > 0.5
             ck = (onehot & target_vec).sum(axis=1)
-            losses[f'recall@top{k}'] = jax.lax.stop_gradient(
-                (ck / tsum).mean())
-            losses[f'prec@top{k}'] = jax.lax.stop_gradient(
-                (ck / k).mean())
+            losses[f'recall@top{k}'] = row_mean(ck / tsum)
+            losses[f'prec@top{k}'] = row_mean(ck / k)
         return losses
 
 

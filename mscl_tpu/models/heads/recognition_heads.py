@@ -25,6 +25,11 @@ class _PoolFCHead(BaseHead):
     spatial_type: str = 'avg'
     multi_class: bool = False
     label_smooth_eps: float = 0.0
+    # accepted for reference-config parity (tsn_head.py consensus=
+    # dict(type='AvgConsensus', dim=1)); averaging is what _pool +
+    # the num_segs consensus below already implement.
+    consensus: Any = None
+    temporal_pool: bool = False
     dtype: Any = jnp.float32
 
     def _pool(self, x):

@@ -3,8 +3,9 @@
 Implements the standard Middlebury/Baker-et-al. flow color coding used by
 RAFT's ``flow_viz`` (reference: tools/RAFT/core/utils/flow_viz.py, consumed
 by the pipeline at transforms_motion.py and the device aug at
-ssl_aug.py:87-136). The device-side (jit-able) version lives in
-``mscl_tpu.models.common.flow_viz_jax``; both share the same wheel.
+ssl_aug.py:87-136). The device-side (jit-able) version is
+``mscl_tpu.models.common.ssl_aug.flow_uv_to_colors``; both share this
+wheel (``make_colorwheel``).
 """
 from __future__ import annotations
 
