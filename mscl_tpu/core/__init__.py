@@ -1,3 +1,5 @@
+from .bbox import (MaxIoUAssignerAVA, RandomSampler, assign_and_sample,
+                   bbox_overlaps, bbox_target)
 from .checkpoint import (latest_checkpoint, load_checkpoint, publish_model,
                          save_checkpoint)
 from .evaluation.accuracy import (confusion_matrix, mean_average_precision,
@@ -14,4 +16,6 @@ __all__ = ['confusion_matrix', 'mean_average_precision',
            'top_k_accuracy', 'build_lr_schedule', 'build_optimizer',
            'make_freeze_mask', 'Runner', 'TrainState', 'init_state',
            'make_train_step', 'save_checkpoint', 'load_checkpoint',
-           'latest_checkpoint', 'publish_model', 'precise_bn_update']
+           'latest_checkpoint', 'publish_model', 'precise_bn_update',
+           'MaxIoUAssignerAVA', 'RandomSampler', 'assign_and_sample',
+           'bbox_overlaps', 'bbox_target']

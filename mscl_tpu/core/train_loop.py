@@ -208,6 +208,12 @@ class Runner:
     def train_epoch(self, state: TrainState) -> TrainState:
         self.train_loader.set_epoch(self.epoch)
         n_batches = len(self.train_loader)
+        if n_batches == 0:
+            print(f'WARNING: epoch {self.epoch + 1} has 0 batches — '
+                  f'dataset ({len(self.train_loader.dataset)} samples) '
+                  f'is smaller than the global batch '
+                  f'({self.train_loader.batch_size}) with drop_last',
+                  flush=True)
         t_end = time.time()
         it = iter(self.train_loader)
         try:

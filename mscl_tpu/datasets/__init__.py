@@ -1,5 +1,5 @@
 from .activitynet_dataset import ActivityNetDataset
-from .ava_dataset import AVADataset, SampleAVAFrames
+from .ava_dataset import AVAAssignSample, AVADataset, SampleAVAFrames
 from .base import BaseDataset
 from .blending import CutmixBlending, MixupBlending
 from .builder import (BLENDINGS, DATASETS, PIPELINES, build_dataloader,
@@ -8,6 +8,7 @@ from .dataset_wrappers import ConcatDataset, RepeatDataset
 from .file_dataset import FileRawframe2BranchDataset, FileRawframeDataset
 from .loader import NumpyLoader, default_collate
 from .rawframe_dataset import RawframeDataset, VideoDataset
+from .ssn_dataset import SampleProposalFrames, SSNDataset, SSNInstance
 from . import pipelines  # noqa: F401  (registers all transforms)
 
 __all__ = [
@@ -16,5 +17,6 @@ __all__ = [
     'FileRawframeDataset', 'FileRawframe2BranchDataset', 'NumpyLoader',
     'default_collate', 'RepeatDataset', 'ConcatDataset',
     'MixupBlending', 'CutmixBlending', 'ActivityNetDataset',
-    'AVADataset', 'SampleAVAFrames',
+    'AVADataset', 'SampleAVAFrames', 'AVAAssignSample',
+    'SSNDataset', 'SSNInstance', 'SampleProposalFrames',
 ]

@@ -54,6 +54,37 @@ class SampleAVAFrames(SampleFrames):
         return results
 
 
+@PIPELINES.register_module()
+class AVAAssignSample:
+    """Assign proposals to gts, sample a fixed RoI budget, and emit
+    padded training targets (rois/roi_labels/roi_weights).
+
+    TPU-native equivalent of the reference's in-forward mmdet
+    assigner+sampler (reference models/heads/roi_head.py
+    _bbox_forward_train + core/bbox/): runs host-side in the pipeline so
+    the jitted step consumes static-shape RoI batches. ``rcnn`` takes the
+    reference train_cfg.rcnn dict verbatim (assigner/sampler/pos_weight).
+    """
+
+    def __init__(self, rcnn, seed=None):
+        self.rcnn = rcnn
+        self.seed = seed
+
+    def __call__(self, results):
+        from ..core.bbox import assign_and_sample  # noqa: local import
+        gt_bboxes = np.asarray(results['gt_bboxes'], np.float32)
+        gt_labels = np.asarray(results['gt_labels'], np.float32)
+        proposals = np.asarray(
+            results.get('proposals', np.zeros((0, 4), np.float32)),
+            np.float32)
+        rng = np.random.default_rng(self.seed) if self.seed is not None \
+            else None
+        out = assign_and_sample(proposals, gt_bboxes, gt_labels,
+                                self.rcnn, rng)
+        results.update(out)
+        return results
+
+
 @DATASETS.register_module()
 class AVADataset(BaseDataset):
 

@@ -175,6 +175,12 @@ class DenseSampleFrames(SampleFrames):
         return self._get_train_clips(num_frames)
 
 
+def _fmt_tmpl(tmpl, *args):
+    """Filename templates appear in both % ('img_%05d.jpg') and
+    str.format ('img_{:05}.jpg') styles across mm configs."""
+    return tmpl % args if '%' in tmpl else tmpl.format(*args)
+
+
 def _imread_rgb(path):
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
@@ -205,12 +211,15 @@ class RawFrameDecode:
             frame_idx = int(frame_idx) + offset
             if modality == 'RGB':
                 if frame_idx not in cache:
-                    filepath = osp.join(directory, filename_tmpl % frame_idx)
+                    filepath = osp.join(directory,
+                                        _fmt_tmpl(filename_tmpl, frame_idx))
                     cache[frame_idx] = _imread_rgb(filepath)
                 imgs.append(cache[frame_idx].copy())
             elif modality == 'Flow':
-                x_path = osp.join(directory, filename_tmpl % ('x', frame_idx))
-                y_path = osp.join(directory, filename_tmpl % ('y', frame_idx))
+                x_path = osp.join(directory,
+                                  _fmt_tmpl(filename_tmpl, 'x', frame_idx))
+                y_path = osp.join(directory,
+                                  _fmt_tmpl(filename_tmpl, 'y', frame_idx))
                 imgs.append(cv2.imread(x_path, cv2.IMREAD_GRAYSCALE))
                 imgs.append(cv2.imread(y_path, cv2.IMREAD_GRAYSCALE))
             else:

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import BACKBONES
+from ...ops.conv3d import conv3d
 
 # torch-parity initializers (fastonly.py:424-436 / torchvision defaults)
 conv_init = nn.initializers.variance_scaling(2.0, 'fan_out',
@@ -37,6 +38,27 @@ conv_init = nn.initializers.variance_scaling(2.0, 'fan_out',
 
 def kaiming_normal_fan_out():
     return nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
+
+
+class Conv3dNoBias(nn.Module):
+    """Bias-free 3D conv whose parameter keeps the flax nn.Conv layout
+    (kernel (kt, kh, kw, C, F) under 'kernel') but whose compute path is
+    the TPU tap-stacked 2D lowering (mscl_tpu/ops/conv3d.py)."""
+    features: int
+    kernel_size: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            'kernel', kaiming_normal_fan_out(),
+            self.kernel_size + (x.shape[-1], self.features), jnp.float32)
+        if self.dtype != jnp.float32:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        return conv3d(x, kernel, self.stride, self.padding)
 
 
 class ConvBN(nn.Module):
@@ -55,11 +77,9 @@ class ConvBN(nn.Module):
             pad = tuple(k // 2 for k in self.kernel)
         else:
             pad = self.padding
-        x = nn.Conv(
-            self.features, self.kernel, strides=self.stride,
-            padding=[(p, p) for p in pad], use_bias=False,
-            kernel_init=kaiming_normal_fan_out(),
-            dtype=self.dtype, name='conv')(x)
+        x = Conv3dNoBias(
+            self.features, tuple(self.kernel), tuple(self.stride),
+            tuple(pad), dtype=self.dtype, name='conv')(x)
         if self.use_bn:
             # BN compute follows the model dtype (keeps the conv->BN->relu
             # chain in bf16 on TPU); statistics/params stay f32 (flax
@@ -282,10 +302,8 @@ class R2Plus1dBlock(nn.Module):
             (in_planes * 3 * 3 + 3 * planes)
         x = ConvBN(mid, (1, 3, 3), (1, stride, stride), (0, 1, 1),
                    dtype=self.dtype, name=f'{name}_s')(x, train)
-        x = nn.Conv(planes, (3, 1, 1), strides=(stride, 1, 1),
-                    padding=[(1, 1), (0, 0), (0, 0)], use_bias=False,
-                    kernel_init=kaiming_normal_fan_out(),
-                    dtype=self.dtype, name=f'{name}_t')(x)
+        x = Conv3dNoBias(planes, (3, 1, 1), (stride, 1, 1), (1, 0, 0),
+                         dtype=self.dtype, name=f'{name}_t')(x)
         return x
 
     @nn.compact

@@ -176,6 +176,16 @@ class AVAFastRCNN(nn.Module):
         cls_score = self.bbox_head(roi_feats, train=train)
         return self.bbox_head.loss(cls_score, labels, valid_mask)
 
+    @staticmethod
+    def flatten_rois(rois):
+        """(B, R, 4) padded per-sample boxes -> (B*R, 5) with batch
+        indices (the reference's mmdet bbox2roi, done inside jit with
+        static shapes)."""
+        b, r, _ = rois.shape
+        batch_ids = jnp.repeat(jnp.arange(b, dtype=rois.dtype), r)
+        return jnp.concatenate(
+            [batch_ids[:, None], rois.reshape(b * r, 4)], axis=1)
+
     def forward_test(self, imgs, rois):
         feat = self.extract_feat(imgs, train=False)
         roi_feats = self.roi_extractor(feat, rois)
@@ -188,7 +198,20 @@ class AVAFastRCNN(nn.Module):
         return self.forward_test(imgs, rois)
 
     def train_step(self, batch, train: bool = True):
-        losses = self.forward_train(batch['imgs'], batch['rois'],
-                                    batch['labels'],
-                                    batch.get('valid_mask'), train=train)
+        """Accepts either the flat form (rois (R, 5) + labels (R, C)) or
+        the pipeline's batched padded form from AVAAssignSample
+        (rois (B, R, 4) + roi_labels (B, R, C) + roi_weights (B, R))."""
+        rois = batch.get('rois')
+        if rois is not None and rois.ndim == 3:
+            b, r = rois.shape[:2]
+            labels = batch['roi_labels'].reshape(b * r, -1)
+            weights = batch['roi_weights'].reshape(b * r)
+            losses = self.forward_train(
+                batch['imgs'], self.flatten_rois(rois), labels,
+                (weights > 0).astype(labels.dtype), train=train)
+        else:
+            losses = self.forward_train(batch['imgs'], rois,
+                                        batch['labels'],
+                                        batch.get('valid_mask'),
+                                        train=train)
         return parse_losses(losses)

