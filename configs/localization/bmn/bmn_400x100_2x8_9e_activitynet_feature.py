@@ -1,0 +1,45 @@
+# BMN (parity: reference configs/localization/bmn/
+# bmn_400x100_2x8_9e_activitynet_feature.py).
+_base_ = ['../../_base_/default_runtime.py']
+
+model = dict(
+    type='BMN', temporal_dim=100, boundary_ratio=0.5, num_samples=32,
+    num_samples_per_bin=3, feat_dim=400, soft_nms_alpha=0.4,
+    soft_nms_low_threshold=0.5, soft_nms_high_threshold=0.9,
+    post_process_top_k=100)
+dataset_type = 'ActivityNetDataset'
+data_root = 'data/ActivityNet/activitynet_feature_cuhk/csv_mean_100'
+ann_file_train = 'data/ActivityNet/anet_anno_train.json'
+ann_file_val = 'data/ActivityNet/anet_anno_val.json'
+ann_file_test = ann_file_val
+train_pipeline = [
+    dict(type='LoadLocalizationFeature'),
+    dict(type='GenerateLocalizationLabels'),
+    dict(type='Collect', keys=['raw_feature', 'gt_bbox'], meta_keys=[]),
+    dict(type='ToTensor', keys=['raw_feature']),
+]
+val_pipeline = [
+    dict(type='LoadLocalizationFeature'),
+    dict(type='GenerateLocalizationLabels'),
+    dict(type='Collect', keys=['raw_feature', 'gt_bbox'],
+         meta_keys=['video_name', 'duration_second', 'duration_frame',
+                    'annotations', 'feature_frame']),
+    dict(type='ToTensor', keys=['raw_feature']),
+]
+test_pipeline = val_pipeline
+data = dict(
+    videos_per_gpu=8, workers_per_gpu=4,
+    train=dict(type=dataset_type, ann_file=ann_file_train,
+               pipeline=train_pipeline, data_prefix=data_root),
+    val=dict(type=dataset_type, ann_file=ann_file_val,
+             pipeline=val_pipeline, data_prefix=data_root),
+    test=dict(type=dataset_type, ann_file=ann_file_test,
+              pipeline=test_pipeline, data_prefix=data_root))
+evaluation = dict(interval=1, metrics=['AR@AN'])
+optimizer = dict(type='Adam', lr=0.001, weight_decay=0.0001)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(policy='step', step=[7])
+total_epochs = 9
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=50, hooks=[dict(type='TextLoggerHook')])
+work_dir = './work_dirs/bmn_400x100_2x8_9e_activitynet_feature'

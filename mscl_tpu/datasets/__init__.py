@@ -1,4 +1,5 @@
 from .activitynet_dataset import ActivityNetDataset
+from .audio_dataset import (AudioDataset, AudioFeatureDataset)
 from .ava_dataset import AVAAssignSample, AVADataset, SampleAVAFrames
 from .base import BaseDataset
 from .blending import CutmixBlending, MixupBlending
@@ -19,4 +20,5 @@ __all__ = [
     'MixupBlending', 'CutmixBlending', 'ActivityNetDataset',
     'AVADataset', 'SampleAVAFrames', 'AVAAssignSample',
     'SSNDataset', 'SSNInstance', 'SampleProposalFrames',
+    'AudioDataset', 'AudioFeatureDataset',
 ]

@@ -363,3 +363,33 @@ class ArrayDecode:
             results['flows'] = [results['flow_array'][int(i)].copy()
                                 for i in results['frame_inds']]
         return results
+
+
+@PIPELINES.register_module()
+class LoadLocalizationFeature:
+    """Reference-config compatibility (reference pipelines/loading.py
+    LoadLocalizationFeature): ActivityNetDataset here loads and
+    temporally resizes ``raw_feature`` in prepare_* (the TPU-native data
+    plane keeps IO in the dataset); this transform validates/casts."""
+
+    def __init__(self, raw_feature_ext='.csv', **kwargs):
+        self.raw_feature_ext = raw_feature_ext
+
+    def __call__(self, results):
+        assert 'raw_feature' in results, (
+            'LoadLocalizationFeature expects the dataset to provide '
+            'raw_feature (ActivityNetDataset.prepare_train_frames)')
+        results['raw_feature'] = np.asarray(results['raw_feature'],
+                                            np.float32)
+        return results
+
+
+@PIPELINES.register_module()
+class GenerateLocalizationLabels:
+    """Reference-config compatibility: normalized gt segments are
+    produced by ActivityNetDataset (gt_bbox); validate presence."""
+
+    def __call__(self, results):
+        assert 'gt_bbox' in results
+        results['gt_bbox'] = np.asarray(results['gt_bbox'], np.float32)
+        return results

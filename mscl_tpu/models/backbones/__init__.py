@@ -22,3 +22,9 @@ __all__ += ['S3D', 'SepConv3d']
 from .tanet import TAM, TANet
 
 __all__ += ['TANet', 'TAM']
+from .resnet_audio import ConvAudio, ResNetAudio
+from .resnet_tin import ResNetTIN, TemporalInterlace, linear_sampler, \
+    tin_shift
+
+__all__ += ['ResNetAudio', 'ConvAudio', 'ResNetTIN', 'TemporalInterlace',
+            'linear_sampler', 'tin_shift']

@@ -8,8 +8,9 @@ from .local_align_heads import (FGMoDistPredHead, MAMSCLWithAugPosHead,
                                 MTMoDistPredHead)
 from .local_cl_head import MSCLWithAugPosHeadV2
 from .moco_head import MoCoHead
-from .recognition_heads import (SlowFastHead, TPNHead, TSMHead, TSNHead,
-                                X3DHead)
+from .recognition_heads import (AudioTSNHead, SlowFastHead,
+                                TimeSformerHead, TPNHead, TSMHead,
+                                TSNHead, X3DHead)
 from .moco_head_v2 import MSCLWithAugMxHead
 from .moco_head_v3 import (MoCoHeadV2, MSCLWithAugDistillMxHead,
                            MSCLWithAugMSFMxHead, MSFHead, NMSFHead)
@@ -22,4 +23,5 @@ __all__ = ['BaseHead', 'topk_accuracy', 'I3DHead', 'MoCoHead',
            'MlvlMSCLWithAugPosHead', 'MAMSCLWithAugPosHead', 'MoCoHeadV2',
            'MSFHead', 'NMSFHead', 'MSCLWithAugMSFMxHead',
            'MSCLWithAugDistillMxHead', 'TSNHead', 'TSMHead', 'TPNHead',
+           'TimeSformerHead', 'AudioTSNHead',
            'X3DHead', 'SlowFastHead']

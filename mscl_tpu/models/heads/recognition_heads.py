@@ -84,6 +84,39 @@ class TPNHead(_PoolFCHead):
 
 
 @HEADS.register_module()
+class AudioTSNHead(_PoolFCHead):
+    """reference audio_tsn_head.py:10-81: spatial-pool + dropout + fc
+    over (N, T', F', C) spectrogram features."""
+    dropout_ratio: float = 0.4
+    init_std: float = 0.01
+
+
+@HEADS.register_module()
+class TimeSformerHead(BaseHead):
+    """reference timesformer_head.py: fc over the cls token."""
+    num_classes: int = 400
+    in_channels: int = 768
+    loss_cls: Any = None
+    init_std: float = 0.02
+    dropout_ratio: float = 0.0
+    multi_class: bool = False
+    label_smooth_eps: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, num_segs: int = 1):
+        if x.ndim > 2:
+            x = x.mean(axis=tuple(range(1, x.ndim - 1)))
+        if self.dropout_ratio:
+            x = nn.Dropout(rate=self.dropout_ratio,
+                           deterministic=not train)(x)
+        return nn.Dense(self.num_classes,
+                        kernel_init=nn.initializers.truncated_normal(
+                            self.init_std),
+                        dtype=self.dtype, name='fc_cls')(x)
+
+
+@HEADS.register_module()
 class X3DHead(BaseHead):
     """reference x3d_head.py: pooled conv5 -> fc1 -> relu -> fc2."""
     num_classes: int = 400

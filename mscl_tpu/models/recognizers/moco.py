@@ -143,6 +143,14 @@ class _MoCoBase(nn.Module):
     dtype: Any = jnp.float32
 
     anneal_momentum: bool = False
+    # ShuffleBN semantics (reference moco.py:146-191). 0/1 = OFF: key
+    # encoder BN statistics are computed over the global batch (SyncBN
+    # alternative from the MoCo paper — round-1 default). g > 1 = the
+    # faithful variant: a shared-PRNG global permutation, then the key
+    # encoder runs per group of B/g samples so each group computes its
+    # own BN batch statistics — exactly the per-GPU stats DDP ShuffleBN
+    # produces with world size g. See PARITY.md for the A/B.
+    shuffle_bn: int = 0
 
     def setup(self):
         bb_cfg = dict(self.backbone)
@@ -189,17 +197,38 @@ class _MoCoBase(nn.Module):
         return self.queue, self.queue_ptr, self.count, self.iters
 
     # --------------------------------------------------------- forward
+    def _key_forward(self, im_k, train: bool):
+        k_mlvl = self.encoder_k(im_k, train=train)
+        k_emb, k_mlvl = self.neck_k(k_mlvl, train=train)
+        return self.mlp_k(k_emb), k_mlvl
+
     def extract_feat(self, im_q, im_k, train: bool):
         q_mlvl = self.encoder_q(im_q, train=train)
         q_emb, q_mlvl = self.neck_q(q_mlvl, train=train)
         q = self.mlp_q(q_emb)
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True).clip(1e-12)
 
-        # key branch: gradient-free (EMA-updated params); global-batch BN
-        # stats replace ShuffleBN (see module docstring)
-        k_mlvl = self.encoder_k(im_k, train=train)
-        k_emb, k_mlvl = self.neck_k(k_mlvl, train=train)
-        k = self.mlp_k(k_emb)
+        # key branch: gradient-free (EMA-updated params). Default:
+        # global-batch BN stats (replaces ShuffleBN, module docstring);
+        # shuffle_bn > 1 enables the faithful per-group variant.
+        if train and self.shuffle_bn > 1 and not self.is_initializing():
+            g = self.shuffle_bn
+            b = im_k.shape[0]
+            assert b % g == 0, f'batch {b} % shuffle_bn groups {g} != 0'
+            perm = jax.random.permutation(self.make_rng('moco'), b)
+            inv = jnp.argsort(perm)
+            shuffled = im_k[perm]
+            ks, kmls = [], []
+            for i in range(g):
+                k_i, kml_i = self._key_forward(
+                    shuffled[i * b // g:(i + 1) * b // g], train)
+                ks.append(k_i)
+                kmls.append(kml_i)
+            k = jnp.concatenate(ks)[inv]
+            k_mlvl = [jnp.concatenate(parts)[inv]
+                      for parts in zip(*kmls)]
+        else:
+            k, k_mlvl = self._key_forward(im_k, train)
         k = k / jnp.linalg.norm(k, axis=1, keepdims=True).clip(1e-12)
         k = jax.lax.stop_gradient(k)
         k_mlvl = [jax.lax.stop_gradient(x) for x in k_mlvl]

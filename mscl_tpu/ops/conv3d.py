@@ -28,17 +28,22 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Global implementation switch: 'xla3d' (direct lax 3D conv, default) or
-# 'tap2d' (2D lowering). Measured on v5e (MSCL r18 full step, bs32):
-# xla3d 94.6 ms/step vs tap2d 172.9 ms/step — the tap stacking triples
-# conv input HBM traffic on the all-3x3x3 RGB tower, so the direct path
-# stays the default; tap2d is kept for kt-heavy/pointwise cases and A/B.
-_IMPL = os.environ.get('MSCL_CONV3D_IMPL', 'xla3d')
+# Global implementation policy:
+#   'xla3d' — direct lax 3D conv everywhere
+#   'tap2d' — 2D lowering everywhere
+#   'auto'  — tap2d where the direct path is measured-pathological
+#             (kt == 1: the T axis is trivially batchable; thin input
+#             channels: v5e microbench shows the 3-ch stem at 0.1% MFU
+#             under xla3d vs 5.2% under tap2d), xla3d otherwise.
+# Full-step v5e measurements (MSCL r18, bs32): all-xla3d 94.6 ms/step,
+# all-tap2d 172.9 ms/step (tap stacking triples conv input HBM traffic
+# on the all-3x3x3 RGB tower).
+_IMPL = os.environ.get('MSCL_CONV3D_IMPL', 'auto')
 
 
 def set_conv3d_impl(impl: str) -> None:
     global _IMPL
-    assert impl in ('tap2d', 'xla3d'), impl
+    assert impl in ('tap2d', 'xla3d', 'auto'), impl
     _IMPL = impl
 
 
@@ -50,7 +55,11 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
            stride: Tuple[int, int, int],
            padding: Tuple[int, int, int]) -> jnp.ndarray:
     """NTHWC 3D conv with kernel (kt, kh, kw, C, F), symmetric padding."""
-    if _IMPL == 'xla3d':
+    impl = _IMPL
+    if impl == 'auto':
+        impl = 'tap2d' if (kernel.shape[0] == 1 or
+                           kernel.shape[3] < 16) else 'xla3d'
+    if impl == 'xla3d':
         return _conv3d_xla(x, kernel, stride, padding)
     return _conv3d_tap2d(x, kernel, stride, padding)
 

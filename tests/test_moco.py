@@ -274,3 +274,62 @@ class TestFlowVisualizerParity:
         dev = np.asarray(FlowVisualizer()(
             jnp.asarray(flow_n)[None, None])[0, 0])
         np.testing.assert_allclose(dev, host, atol=1.5 / 255)
+
+
+class TestShuffleBN:
+    """Faithful ShuffleBN option (reference moco.py:146-191): per-group
+    key-encoder BN stats over a shared-PRNG global permutation."""
+
+    def _run(self, shuffle_bn, seed=0):
+        cfg = moco_cfg()
+        model = RECOGNIZERS.get('MoCoV2')(shuffle_bn=shuffle_bn, **cfg)
+        batch = moco_batch(seed)
+        rng = jax.random.PRNGKey(seed)
+        variables = model.init(
+            {'params': rng, 'dropout': rng, 'moco': rng}, batch,
+            method='train_step')
+        variables = sync_key_variables(variables)
+        (loss, log_vars), updates = model.apply(
+            variables, batch, method='train_step',
+            mutable=['batch_stats', 'moco_state'],
+            rngs={'dropout': jax.random.PRNGKey(1),
+                  'moco': jax.random.PRNGKey(2)})
+        return float(loss), variables, updates
+
+    def test_runs_and_differs_from_global_bn(self):
+        loss_g, _, _ = self._run(0)
+        loss_s, _, _ = self._run(4)
+        assert np.isfinite(loss_g) and np.isfinite(loss_s)
+        # per-group stats change the key features, so the loss moves
+        assert loss_g != loss_s
+
+    def test_q_unchanged_k_stats_localized(self):
+        """shuffle_bn only alters the KEY branch: q features are
+        bit-identical to the global-BN model under the same params,
+        while k features move (per-group stats differ from global)."""
+        cfg = moco_cfg()
+        model = RECOGNIZERS.get('MoCoV2')(shuffle_bn=2, **cfg)
+        batch = moco_batch(0)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(
+            {'params': rng, 'dropout': rng, 'moco': rng}, batch,
+            method='train_step')
+        variables = sync_key_variables(variables)
+        im_q = jnp.asarray(np.transpose(batch['imgs'][0],
+                                        (0, 2, 3, 4, 1)))
+        im_k = jnp.asarray(np.transpose(batch['imgs'][1],
+                                        (0, 2, 3, 4, 1)))
+        moco_rng = jax.random.PRNGKey(7)
+        (q, _, k, _), _ = model.apply(
+            variables, im_q, im_k, True, method='extract_feat',
+            mutable=['batch_stats'], rngs={'moco': moco_rng})
+        model_g = RECOGNIZERS.get('MoCoV2')(shuffle_bn=0, **cfg)
+        (q2, _, k2, _), _ = model_g.apply(
+            variables, im_q, im_k, True, method='extract_feat',
+            mutable=['batch_stats'], rngs={'moco': moco_rng})
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q2),
+                                   rtol=1e-5, atol=1e-5)
+        assert not np.allclose(np.asarray(k), np.asarray(k2), atol=1e-6)
+        # keys are still unit-normalized in both modes
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(k), axis=1), 1.0, atol=1e-3)
