@@ -294,6 +294,11 @@ class RAFT(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
     iters: int = 12
+    # 'volume' materializes the all-pairs pyramid (reference default,
+    # corr.py alternate_corr=False); 'pallas' / 'scan' are the
+    # memory-efficient alt_cuda_corr equivalents (ops/corr_lookup.py)
+    # that recompute one slab per pixel tile at every lookup.
+    corr_impl: str = 'volume'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -310,7 +315,18 @@ class RAFT(nn.Module):
         fmap1, fmap2 = jnp.split(both, 2, axis=0)
         fmap1 = fmap1.astype(jnp.float32)
         fmap2 = fmap2.astype(jnp.float32)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        if self.corr_impl == 'volume':
+            pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+            corr_fn = lambda coords: lookup_corr(   # noqa: E731
+                pyramid, coords, self.corr_radius)
+        else:
+            from ..ops.corr_lookup import (corr_lookup_pallas,
+                                           corr_lookup_scan)
+            fn = corr_lookup_pallas if self.corr_impl == 'pallas' \
+                else corr_lookup_scan
+            corr_fn = lambda coords: fn(            # noqa: E731
+                fmap1, fmap2, coords, self.corr_levels,
+                self.corr_radius)
 
         cnet = BasicEncoder(hdim + cdim, 'batch', dtype=self.dtype,
                             name='cnet')(image1, train)
@@ -329,7 +345,7 @@ class RAFT(nn.Module):
         def body(carry, _):
             net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = lookup_corr(pyramid, coords1, self.corr_radius)
+            corr = corr_fn(coords1)
             flow = coords1 - coords0
             net, up_mask, delta_flow = update(net, inp, corr, flow)
             coords1 = coords1 + delta_flow

@@ -38,12 +38,12 @@ from jax import lax
 # Full-step v5e measurements (MSCL r18, bs32): all-xla3d 94.6 ms/step,
 # all-tap2d 172.9 ms/step (tap stacking triples conv input HBM traffic
 # on the all-3x3x3 RGB tower).
-_IMPL = os.environ.get('MSCL_CONV3D_IMPL', 'auto')
+_IMPL = os.environ.get('MSCL_CONV3D_IMPL', 'xla3d')
 
 
 def set_conv3d_impl(impl: str) -> None:
     global _IMPL
-    assert impl in ('tap2d', 'xla3d', 'auto'), impl
+    assert impl in ('tap2d', 'xla3d', 'auto', 'sumtap'), impl
     _IMPL = impl
 
 
@@ -61,7 +61,32 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
                            kernel.shape[3] < 16) else 'xla3d'
     if impl == 'xla3d':
         return _conv3d_xla(x, kernel, stride, padding)
+    if impl == 'sumtap':
+        return _conv3d_sumtap(x, kernel, stride, padding)
     return _conv3d_tap2d(x, kernel, stride, padding)
+
+
+def _conv3d_sumtap(x, kernel, stride, padding):
+    """Sum of kt per-tap 2D convs — same FLOPs, no kt*C concat
+    materialization (vs tap2d); each tap reads a strided slice of x."""
+    kt, kh, kw, c, f = kernel.shape
+    st, sh, sw = stride
+    pt, ph, pw = padding
+    n, t, h, w, _ = x.shape
+    if pt:
+        x = jnp.pad(x, ((0, 0), (pt, pt), (0, 0), (0, 0), (0, 0)))
+    t_out = (t + 2 * pt - kt) // st + 1
+    out = None
+    for dt in range(kt):
+        xs = lax.slice_in_dim(x, dt, dt + st * (t_out - 1) + 1, st,
+                              axis=1)
+        xs = xs.reshape(n * t_out, h, w, c)
+        o = lax.conv_general_dilated(
+            xs, kernel[dt], (sh, sw), [(ph, ph), (pw, pw)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        out = o if out is None else out + o
+    ho, wo = out.shape[1], out.shape[2]
+    return out.reshape(n, t_out, ho, wo, f)
 
 
 def _conv3d_xla(x, kernel, stride, padding):

@@ -1,0 +1,194 @@
+"""Memory-efficient RAFT correlation lookup — Pallas TPU kernel.
+
+TPU-native equivalent of the reference's only CUDA component
+(tools/RAFT/alt_cuda_corr/correlation_kernel.cu:18-121 forward): compute
+the (2r+1)^2 bilinear correlation window per query pixel over the
+4-level pyramid WITHOUT materializing the full (H*W)^2 all-pairs volume
+(flow/raft.py build_corr_pyramid materializes it; at RAFT's 440x1024
+resolution that volume is ~250 MB per image vs. one 64-row slab here).
+
+Design (per grid step = one tile of TILE query pixels of one batch):
+  1. slab = f1_tile (TILE, C) @ f2^T (C, H*W) / sqrt(C)   [MXU]
+  2. 2x2-avg-pool the slab into the 4 pyramid levels       [VPU]
+  3. zero-pad each level by 2r+2 and, per pixel, dynamic-slice a
+     (2r+2, 2r+2) patch around floor(center/2^l) and bilinear-blend
+     the 4 shifted corners — exactly grid_sample(zeros padding,
+     align_corners=True) semantics of the XLA path
+     (flow/raft.py bilinear_sampler/lookup_corr).
+
+The FLOPs match the all-pairs volume (each tile re-correlates against
+all of f2) but peak memory per step is one (TILE, H*W) slab; this is
+the alt_cuda_corr trade (recompute over materialize).
+
+A lax.scan reference implementation with identical numerics
+(corr_lookup_scan) serves as the non-Pallas fallback and CPU oracle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _level_dims(h: int, w: int, num_levels: int):
+    dims = [(h, w)]
+    for _ in range(num_levels - 1):
+        h, w = h // 2, w // 2
+        dims.append((h, w))
+    return dims
+
+
+def _pool2x2(slab, h, w):
+    """(T, h, w) -> (T, h//2, w//2) mean pool, cropping odd remainders
+    (matches flow/raft.py build_corr_pyramid)."""
+    t = slab.shape[0]
+    ch, cw = h // 2, w // 2
+    s = slab[:, :ch * 2, :cw * 2].reshape(t, ch, 2, cw, 2)
+    return s.mean(axis=(2, 4))
+
+
+def _window_from_patch(patch, fx, fy, r):
+    """(2r+2, 2r+2) integer patch + fractional center -> (2r+1, 2r+1)
+    bilinear window."""
+    k = 2 * r + 1
+    p00 = patch[:k, :k]
+    p01 = patch[:k, 1:k + 1]
+    p10 = patch[1:k + 1, :k]
+    p11 = patch[1:k + 1, 1:k + 1]
+    return ((1 - fy) * (1 - fx) * p00 + (1 - fy) * fx * p01 +
+            fy * (1 - fx) * p10 + fy * fx * p11)
+
+
+def _lookup_tile(slab, coords_tile, h, w, num_levels, radius):
+    """slab (T, H*W) f32, coords_tile (T, 2) level-0 (x, y) ->
+    (T, num_levels*(2r+1)^2). Shared by the Pallas kernel body and the
+    scan fallback (identical numerics)."""
+    tile = slab.shape[0]
+    r = radius
+    k = 2 * r + 1
+    pad = 2 * r + 2
+    lvl = slab.reshape(tile, h, w)
+    outs = []
+    for i, (hl, wl) in enumerate(_level_dims(h, w, num_levels)):
+        if i > 0:
+            prev = _level_dims(h, w, num_levels)[i - 1]
+            lvl = _pool2x2(lvl, prev[0], prev[1])
+        padded = jnp.pad(lvl, ((0, 0), (pad, pad), (pad, pad)))
+        scale = jnp.float32(2 ** i)
+        cx = coords_tile[:, 0] / scale
+        cy = coords_tile[:, 1] / scale
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0).astype(jnp.float32)
+        fy = (cy - y0).astype(jnp.float32)
+        # patch start in padded space; clipping parks fully-outside
+        # windows inside the zero padding (pad = window size)
+        sx = jnp.clip(x0.astype(jnp.int32) - r + pad, 0, wl + pad)
+        sy = jnp.clip(y0.astype(jnp.int32) - r + pad, 0, hl + pad)
+
+        def per_pixel(p, acc):
+            patch = jax.lax.dynamic_slice(
+                padded, (p, sy[p], sx[p]), (1, 2 * r + 2, 2 * r + 2))[0]
+            win = _window_from_patch(patch, fx[p], fy[p], r)
+            return jax.lax.dynamic_update_slice(
+                acc, win.reshape(1, k * k), (p, 0))
+
+        out_l = jax.lax.fori_loop(
+            0, tile, per_pixel, jnp.zeros((tile, k * k), jnp.float32))
+        outs.append(out_l)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _corr_kernel(f1_ref, f2_ref, coords_ref, out_ref, *, h, w,
+                 num_levels, radius):
+    f1 = f1_ref[0]                       # (TILE, C)
+    f2 = f2_ref[0]                       # (H*W, C)
+    c = f1.shape[-1]
+    slab = jax.lax.dot_general(
+        f1, f2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    slab = slab / jnp.sqrt(jnp.float32(c))
+    out_ref[0] = _lookup_tile(slab, coords_ref[0], h, w, num_levels,
+                              radius)
+
+
+def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                       coords: jnp.ndarray, num_levels: int = 4,
+                       radius: int = 4, tile: int = 64,
+                       interpret: bool = False) -> jnp.ndarray:
+    """fmap1/fmap2: (N, H, W, C); coords: (N, H, W, 2) level-0 (x, y).
+    Returns (N, H, W, num_levels*(2r+1)^2) — bitwise semantics of
+    flow/raft.py build_corr_pyramid + lookup_corr."""
+    n, h, w, c = fmap1.shape
+    hw = h * w
+    n_tiles = -(-hw // tile)
+    hw_pad = n_tiles * tile
+    f1 = fmap1.reshape(n, hw, c).astype(jnp.float32)
+    f2 = fmap2.reshape(n, hw, c).astype(jnp.float32)
+    cds = coords.reshape(n, hw, 2).astype(jnp.float32)
+    if hw_pad != hw:
+        f1 = jnp.pad(f1, ((0, 0), (0, hw_pad - hw), (0, 0)))
+        cds = jnp.pad(cds, ((0, 0), (0, hw_pad - hw), (0, 0)))
+    k2 = num_levels * (2 * radius + 1) ** 2
+
+    kernel = functools.partial(_corr_kernel, h=h, w=w,
+                               num_levels=num_levels, radius=radius)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hw, c), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 2), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, k2), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hw_pad, k2), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hw_pad * hw * c, transcendentals=0,
+            bytes_accessed=4 * n * (hw_pad * c + hw * c + hw_pad * k2)),
+        interpret=interpret,
+    )(f1, f2, cds)
+    return out[:, :hw].reshape(n, h, w, k2)
+
+
+def corr_lookup_scan(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                     coords: jnp.ndarray, num_levels: int = 4,
+                     radius: int = 4, tile: int = 64) -> jnp.ndarray:
+    """Pure-XLA memory-efficient fallback: lax.scan over pixel tiles,
+    one (tile, H*W) slab alive at a time. Same numerics as the kernel."""
+    n, h, w, c = fmap1.shape
+    hw = h * w
+    n_tiles = -(-hw // tile)
+    hw_pad = n_tiles * tile
+    f1 = fmap1.reshape(n, hw, c).astype(jnp.float32)
+    f2 = fmap2.reshape(n, hw, c).astype(jnp.float32)
+    cds = coords.reshape(n, hw, 2).astype(jnp.float32)
+    if hw_pad != hw:
+        f1 = jnp.pad(f1, ((0, 0), (0, hw_pad - hw), (0, 0)))
+        cds = jnp.pad(cds, ((0, 0), (0, hw_pad - hw), (0, 0)))
+    f1 = f1.reshape(n, n_tiles, tile, c)
+    cds = cds.reshape(n, n_tiles, tile, 2)
+
+    def per_batch(f1_b, f2_b, cds_b):
+        def step(_, inp):
+            f1_t, cds_t = inp
+            slab = jnp.dot(f1_t, f2_b.T,
+                           preferred_element_type=jnp.float32)
+            slab = slab / jnp.sqrt(jnp.float32(c))
+            return None, _lookup_tile(slab, cds_t, h, w, num_levels,
+                                      radius)
+
+        _, out = jax.lax.scan(step, None, (f1_b, cds_b))
+        return out
+
+    out = jax.vmap(per_batch)(f1, f2, cds)   # (n, n_tiles, tile, k2)
+    k2 = num_levels * (2 * radius + 1) ** 2
+    return out.reshape(n, hw_pad, k2)[:, :hw].reshape(n, h, w, k2)

@@ -57,3 +57,74 @@ def test_decay_actually_applied(data):
     np.testing.assert_allclose(np.asarray(out_decay),
                                np.asarray(out_nodecay) * scale[None, :],
                                rtol=1e-4, atol=1e-5)
+
+
+class TestCorrLookup:
+    """Memory-efficient RAFT correlation lookup (ops/corr_lookup.py) vs
+    the materialized XLA CorrBlock oracle (flow/raft.py)."""
+
+    def _inputs(self, n=2, h=12, w=16, c=32, flow_scale=6.0, seed=0):
+        rng = np.random.default_rng(seed)
+        f1 = jnp.asarray(rng.normal(size=(n, h, w, c)), jnp.float32)
+        f2 = jnp.asarray(rng.normal(size=(n, h, w, c)), jnp.float32)
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+        base = np.stack([xs, ys], -1)[None].repeat(n, 0)
+        coords = jnp.asarray(
+            base + rng.normal(scale=flow_scale, size=base.shape),
+            jnp.float32)
+        return f1, f2, coords
+
+    def test_scan_matches_volume(self):
+        from mscl_tpu.flow.raft import build_corr_pyramid, lookup_corr
+        from mscl_tpu.ops.corr_lookup import corr_lookup_scan
+        f1, f2, coords = self._inputs()
+        ref = lookup_corr(build_corr_pyramid(f1, f2, 3), coords,
+                          radius=2)
+        out = corr_lookup_scan(f1, f2, coords, num_levels=3, radius=2,
+                               tile=16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_pallas_interpret_matches_volume(self):
+        from mscl_tpu.flow.raft import build_corr_pyramid, lookup_corr
+        from mscl_tpu.ops.corr_lookup import corr_lookup_pallas
+        f1, f2, coords = self._inputs()
+        ref = lookup_corr(build_corr_pyramid(f1, f2, 3), coords,
+                          radius=2)
+        out = corr_lookup_pallas(f1, f2, coords, num_levels=3, radius=2,
+                                 tile=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_far_out_of_bounds_is_zero(self):
+        from mscl_tpu.ops.corr_lookup import corr_lookup_scan
+        f1, f2, coords = self._inputs()
+        far = jnp.full_like(coords, -1000.0)
+        out = corr_lookup_scan(f1, f2, far, num_levels=2, radius=2,
+                               tile=16)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_non_multiple_tile_padding(self):
+        from mscl_tpu.flow.raft import build_corr_pyramid, lookup_corr
+        from mscl_tpu.ops.corr_lookup import corr_lookup_scan
+        f1, f2, coords = self._inputs(h=10, w=14)
+        ref = lookup_corr(build_corr_pyramid(f1, f2, 2), coords,
+                          radius=3)
+        out = corr_lookup_scan(f1, f2, coords, num_levels=2, radius=3,
+                               tile=32)   # 140 % 32 != 0
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_raft_corr_impl_option(self):
+        import jax as _jax
+        from mscl_tpu.flow.raft import RAFT
+        m_vol = RAFT(iters=2, corr_levels=2, corr_radius=2,
+                     corr_impl='volume')
+        m_scan = RAFT(iters=2, corr_levels=2, corr_radius=2,
+                      corr_impl='scan')
+        img = jnp.zeros((1, 64, 64, 3))
+        v = m_vol.init(_jax.random.PRNGKey(0), img, img)
+        lo1, up1 = m_vol.apply(v, img, img)
+        lo2, up2 = m_scan.apply(v, img, img)
+        np.testing.assert_allclose(np.asarray(up1), np.asarray(up2),
+                                   atol=1e-4)

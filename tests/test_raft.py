@@ -109,3 +109,48 @@ class TestRAFTModel:
         assert flow_low.shape == (1, 8, 8, 2)
         assert flow_up.shape == (1, 64, 64, 2)
         assert np.all(np.isfinite(np.asarray(flow_up)))
+
+
+class TestPWCLite:
+    """ARFlow PWC-Lite (flow/pwclite.py vs reference
+    tools/ARFlow/models/pwclite.py)."""
+
+    def test_cost_volume_math(self):
+        from mscl_tpu.flow import cost_volume
+        rng = np.random.default_rng(0)
+        x1 = jnp.asarray(rng.normal(size=(1, 6, 8, 4)), jnp.float32)
+        x2 = jnp.asarray(rng.normal(size=(1, 6, 8, 4)), jnp.float32)
+        cv = np.asarray(cost_volume(x1, x2, radius=1))
+        assert cv.shape == (1, 6, 8, 9)
+        # center displacement (dy=0, dx=0) is index 4 in row-major order
+        manual = (np.asarray(x1) * np.asarray(x2)).mean(-1)
+        np.testing.assert_allclose(cv[..., 4], manual, atol=1e-6)
+        # (dy=-1, dx=-1) is index 0: x2 shifted; border rows are zero
+        assert np.allclose(cv[:, 0, :, 0], 0.0)
+
+    def test_flow_warp_identity_and_shift(self):
+        from mscl_tpu.flow import flow_warp
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 5, 7, 3)), jnp.float32)
+        warped = flow_warp(x, jnp.zeros((1, 5, 7, 2)))
+        np.testing.assert_allclose(np.asarray(warped), np.asarray(x),
+                                   atol=1e-6)
+        # flow (1, 0): sample at x+1 -> shifts content left
+        flow = jnp.zeros((1, 5, 7, 2)).at[..., 0].set(1.0)
+        shifted = np.asarray(flow_warp(x, flow))
+        np.testing.assert_allclose(shifted[:, :, :-1],
+                                   np.asarray(x)[:, :, 1:], atol=1e-6)
+
+    def test_forward_modes(self):
+        from mscl_tpu.flow import PWCLite
+        m = PWCLite(n_frames=2)
+        x = jnp.zeros((1, 6, 64, 128))
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x, with_bk=True)
+        assert [f.shape for f in out['flows_fw']] == [
+            (1, 64, 128, 2), (1, 32, 64, 2), (1, 16, 32, 2),
+            (1, 8, 16, 2), (1, 4, 8, 2)]
+        assert 'flows_bw' in out
+        # ~2.24M params (ARFlow's published PWC-Lite size)
+        n = sum(p.size for p in jax.tree.leaves(v))
+        assert 2.0e6 < n < 2.5e6

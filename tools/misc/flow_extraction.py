@@ -68,6 +68,36 @@ def make_raft_fn(weights_path, iters=12):
     return raft_fn
 
 
+def make_arflow_fn(iters_unused=None):
+    """PWC-Lite (ARFlow) extractor — the reference's lightweight
+    alternative to RAFT (tools/ARFlow/inference.py)."""
+    import jax
+    import jax.numpy as jnp
+    from mscl_tpu.flow.pwclite import PWCLite
+    model = PWCLite(n_frames=2)
+    dummy = jnp.zeros((1, 2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), dummy)
+    print('WARNING: ARFlow runs from random init unless trained — '
+          'only useful for pipeline smoke tests', file=sys.stderr)
+
+    @jax.jit
+    def run(x):
+        return model.apply(variables, x)['flows_fw'][0]
+
+    def arflow_fn(img1_batch, img2_batch):
+        h, w = img1_batch.shape[1:3]
+        ph, pw = (-h) % 64, (-w) % 64
+        if ph or pw:
+            pad = ((0, 0), (0, ph), (0, pw), (0, 0))
+            img1_batch = np.pad(img1_batch, pad, mode='edge')
+            img2_batch = np.pad(img2_batch, pad, mode='edge')
+        x = np.stack([img1_batch, img2_batch], axis=1) / 255.0
+        flow = np.asarray(run(jnp.asarray(x, jnp.float32)))
+        return flow[:, :h, :w]
+
+    return arflow_fn
+
+
 def tvl1_fn(img1_batch, img2_batch):
     """OpenCV TVL1 baseline (reference flow_extraction.py:28+)."""
     if not hasattr(cv2, 'optflow'):
@@ -105,7 +135,7 @@ def main():
     parser.add_argument('--labels', default=None,
                         help='optional "video_name label" txt file')
     parser.add_argument('--method', default='raft',
-                        choices=['raft', 'tvl1'])
+                        choices=['raft', 'arflow', 'tvl1'])
     parser.add_argument('--raft-weights', default=None,
                         help='official RAFT .pth to convert')
     parser.add_argument('--iters', type=int, default=12)
@@ -126,8 +156,12 @@ def main():
                 name, lab = line.split()
                 labels[name] = int(lab)
 
-    flow_fn = make_raft_fn(args.raft_weights, args.iters) \
-        if args.method == 'raft' else tvl1_fn
+    if args.method == 'raft':
+        flow_fn = make_raft_fn(args.raft_weights, args.iters)
+    elif args.method == 'arflow':
+        flow_fn = make_arflow_fn()
+    else:
+        flow_fn = tvl1_fn
 
     videos = list_videos(args.frames_root)
     videos = videos[args.shard_index::args.num_shards]
