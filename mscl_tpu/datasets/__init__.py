@@ -8,6 +8,7 @@ from .builder import (BLENDINGS, DATASETS, PIPELINES, build_dataloader,
 from .dataset_wrappers import ConcatDataset, RepeatDataset
 from .file_dataset import FileRawframe2BranchDataset, FileRawframeDataset
 from .loader import NumpyLoader, default_collate
+from .misc_datasets import HVUDataset, PoseDataset, RawVideoDataset
 from .rawframe_dataset import RawframeDataset, VideoDataset
 from .ssn_dataset import SampleProposalFrames, SSNDataset, SSNInstance
 from . import pipelines  # noqa: F401  (registers all transforms)
@@ -21,4 +22,5 @@ __all__ = [
     'AVADataset', 'SampleAVAFrames', 'AVAAssignSample',
     'SSNDataset', 'SSNInstance', 'SampleProposalFrames',
     'AudioDataset', 'AudioFeatureDataset',
+    'PoseDataset', 'HVUDataset', 'RawVideoDataset',
 ]

@@ -55,4 +55,5 @@ def build_dataloader(dataset,
         drop_last=drop_last,
         num_workers=workers_per_gpu,
         prefetch=prefetch,
+        sampler=kwargs.get('sampler'),
     )

@@ -127,7 +127,7 @@ class NumpyLoader:
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=None,
                  drop_last=False, num_workers=0, prefetch=2,
-                 collate_fn=default_collate):
+                 collate_fn=default_collate, sampler=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -136,6 +136,7 @@ class NumpyLoader:
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.collate_fn = collate_fn
+        self.sampler = dict(sampler) if sampler else None
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -169,10 +170,38 @@ class NumpyLoader:
             for c in chosen_classes])
         return order
 
+    def _pk_order(self, rng, pk_sample_num):
+        """PKDistributedSampler semantics (reference
+        samplers/distributed_sampler.py:141-201, reid): each shuffled
+        anchor is followed by pk_sample_num-1 other samples of its
+        class."""
+        labels = [info['label']
+                  for info in self.dataset.video_infos]
+        class_indices: Dict[Any, list] = {}
+        for i, lab in enumerate(labels):
+            class_indices.setdefault(lab, []).append(i)
+        base = rng.permutation(len(labels)) if self.shuffle else \
+            np.arange(len(labels))
+        order = []
+        for ind in base:
+            order.append(ind)
+            pool = [i for i in class_indices[labels[ind]] if i != ind]
+            k = pk_sample_num - 1
+            if pool:
+                extra = rng.choice(pool, size=k, replace=len(pool) < k)
+                order.extend(int(x) for x in extra)
+            else:
+                order.extend([int(ind)] * k)
+        return np.asarray(order)
+
     def __iter__(self):
         n = len(self.dataset)
         rng = np.random.default_rng(self.seed + self.epoch)
-        if getattr(self.dataset, 'sample_by_class', False) and \
+        if self.sampler and self.sampler.get('type') in (
+                'PKDistributedSampler', 'PKSampler'):
+            order = self._pk_order(
+                rng, self.sampler.get('pk_sample_num', 2))
+        elif getattr(self.dataset, 'sample_by_class', False) and \
                 self.shuffle:
             order = self._class_balanced_order(rng)
         elif self.shuffle:

@@ -8,7 +8,7 @@ from .local_align_heads import (FGMoDistPredHead, MAMSCLWithAugPosHead,
                                 MTMoDistPredHead)
 from .local_cl_head import MSCLWithAugPosHeadV2
 from .moco_head import MoCoHead
-from .recognition_heads import (AudioTSNHead, SlowFastHead,
+from .recognition_heads import (AudioTSNHead, SlowFastHead, TRNHead,
                                 TimeSformerHead, TPNHead, TSMHead,
                                 TSNHead, X3DHead)
 from .moco_head_v2 import MSCLWithAugMxHead
@@ -23,5 +23,5 @@ __all__ = ['BaseHead', 'topk_accuracy', 'I3DHead', 'MoCoHead',
            'MlvlMSCLWithAugPosHead', 'MAMSCLWithAugPosHead', 'MoCoHeadV2',
            'MSFHead', 'NMSFHead', 'MSCLWithAugMSFMxHead',
            'MSCLWithAugDistillMxHead', 'TSNHead', 'TSMHead', 'TPNHead',
-           'TimeSformerHead', 'AudioTSNHead',
+           'TimeSformerHead', 'AudioTSNHead', 'TRNHead',
            'X3DHead', 'SlowFastHead']

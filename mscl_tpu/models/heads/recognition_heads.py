@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -169,3 +170,73 @@ class SlowFastHead(BaseHead):
         return nn.Dense(self.num_classes,
                         kernel_init=nn.initializers.normal(self.init_std),
                         dtype=self.dtype, name='fc_cls')(pooled)
+
+
+@HEADS.register_module()
+class TRNHead(BaseHead):
+    """Temporal Relation Network head (reference trn_head.py:13-211):
+    spatial pool -> dropout -> fc to hidden_dim -> relation consensus.
+    'TRN' uses the single full-scale relation; 'TRNMultiScale' sums MLPs
+    over frame subsets of every scale (up to 3 random combinations per
+    scale, re-sampled each forward via the 'dropout' rng stream)."""
+    num_classes: int = 400
+    in_channels: int = 2048
+    num_segments: int = 8
+    loss_cls: Any = None
+    spatial_type: str = 'avg'
+    relation_type: str = 'TRNMultiScale'
+    hidden_dim: int = 256
+    dropout_ratio: float = 0.8
+    init_std: float = 0.001
+    multi_class: bool = False
+    label_smooth_eps: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, num_segs: int = None):
+        import itertools
+        if x.ndim == 4:
+            x = x.mean(axis=(1, 2)) if self.spatial_type == 'avg' else \
+                x.reshape(x.shape[0], -1)
+        if self.dropout_ratio:
+            x = nn.Dropout(rate=self.dropout_ratio,
+                           deterministic=not train)(x)
+        feat = nn.Dense(self.hidden_dim,
+                        kernel_init=nn.initializers.normal(self.init_std),
+                        dtype=self.dtype, name='fc_cls')(x)
+        feat = feat.reshape(-1, self.num_segments, self.hidden_dim)
+
+        def fusion(z, scale, name):
+            z = nn.relu(z.reshape(z.shape[0], scale * self.hidden_dim))
+            z = nn.Dense(256, dtype=self.dtype, name=f'{name}_fc1')(z)
+            return nn.Dense(self.num_classes, dtype=self.dtype,
+                            name=f'{name}_fc2')(nn.relu(z))
+
+        t = self.num_segments
+        if self.relation_type == 'TRN':
+            z = nn.relu(feat.reshape(feat.shape[0], -1))
+            z = nn.Dense(512, dtype=self.dtype, name='fusion_fc1')(z)
+            return nn.Dense(self.num_classes, dtype=self.dtype,
+                            name='fusion_fc2')(nn.relu(z))
+
+        # multi-scale: scales t, t-1, ..., 2
+        score = fusion(feat, t, 'scale0')     # the single full relation
+        for s_idx, scale in enumerate(range(t - 1, 1, -1)):
+            rels = jnp.asarray(
+                list(itertools.combinations(range(t), scale)),
+                jnp.int32)                      # (n_rel, scale)
+            n_sub = min(3, rels.shape[0])
+            if train and rels.shape[0] > n_sub:
+                rng = self.make_rng('dropout')
+                pick = jax.random.choice(rng, rels.shape[0], (n_sub,),
+                                         replace=False)
+            else:
+                pick = jnp.arange(n_sub)
+            chosen = rels[pick]                 # (n_sub, scale)
+            # (N, n_sub, scale, hidden)
+            sub = feat[:, chosen.reshape(-1), :].reshape(
+                feat.shape[0] * n_sub, scale, self.hidden_dim)
+            s = fusion(sub, scale, f'scale{s_idx + 1}')
+            score = score + s.reshape(feat.shape[0], n_sub,
+                                      self.num_classes).sum(axis=1)
+        return score
