@@ -7,6 +7,7 @@ land on host directly.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -122,3 +123,104 @@ def retrieval_recall(train_feats: np.ndarray, train_labels,
     for k in topk:
         out[f'recall@{k}'] = float(hits[:, :k].any(axis=1).mean())
     return out
+
+
+def init_recognizer(config, checkpoint: Optional[str] = None):
+    """Build a recognizer + variables from a config path/Config and an
+    optional checkpoint (reference apis/inference.py:17-58).
+
+    Returns (model, variables, cfg)."""
+    from flax import serialization
+    from .train import build_model_from_cfg
+    from ..config import Config
+    from ..core import load_checkpoint
+
+    cfg = Config.fromfile(config) if isinstance(config, str) else config
+    model_cfg = {k: v for k, v in dict(cfg.model).items()
+                 if k != 'train_cfg'}
+    model = build_model_from_cfg(model_cfg)
+
+    pipeline_cfg = dict(cfg.data['test' if 'test' in cfg.data else
+                                 'val'])['pipeline']
+    sample = _pipeline_sample(pipeline_cfg, _dummy_results(cfg))
+    imgs = np.asarray(sample['imgs'])[None]
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({'params': rng, 'dropout': rng, 'moco': rng},
+                           jnp.asarray(imgs), return_loss=False)
+    if checkpoint:
+        ckpt = load_checkpoint(checkpoint)
+        if 'params' in ckpt:
+            restored = {'params': ckpt['params']}
+            if 'batch_stats' in ckpt:
+                restored['batch_stats'] = ckpt['batch_stats']
+            variables = serialization.from_state_dict(
+                dict(variables), restored | {
+                    k: v for k, v in dict(variables).items()
+                    if k not in restored})
+    return model, variables, cfg
+
+
+def _dummy_results(cfg):
+    """A synthetic pipeline input for shape discovery."""
+    return dict(total_frames=64, start_index=0, modality='RGB',
+                label=-1, _synthetic=True)
+
+
+def _pipeline_sample(pipeline_cfg, results):
+    """Run the test pipeline on synthetic frames: decode steps are
+    replaced by random frames for shape discovery."""
+    from ..datasets.builder import PIPELINES
+    from ..registry import build_from_cfg
+    rng = np.random.default_rng(0)
+    for tcfg in pipeline_cfg:
+        t = build_from_cfg(dict(tcfg), PIPELINES)
+        name = type(t).__name__
+        if 'Decode' in name or 'Init' in name:
+            results['imgs'] = [rng.integers(0, 256, (128, 128, 3))
+                               .astype(np.uint8)
+                               for _ in results.get(
+                                   'frame_inds', np.zeros(8))]
+            results['original_shape'] = (128, 128)
+            results['img_shape'] = (128, 128)
+            continue
+        results = t(results)
+    return results
+
+
+def inference_recognizer(model, variables, cfg, video_path: str,
+                         num_frames: Optional[int] = None):
+    """Classify one video file / rawframe dir through the config's test
+    pipeline (reference apis/inference.py:60-120). Returns (scores,
+    top5 [(class, score)])."""
+    import cv2
+    from ..datasets.builder import PIPELINES
+    from ..registry import build_from_cfg
+    import os.path as osp
+
+    results = dict(start_index=cfg.get('start_index', 0),
+                   modality='RGB', label=-1)
+    if osp.isdir(video_path):
+        frames = sorted(os.listdir(video_path))
+        results['frame_dir'] = video_path
+        results['total_frames'] = len(frames)
+        results['filename_tmpl'] = cfg.get('filename_tmpl',
+                                           'img_{:05}.jpg')
+    else:
+        results['filename'] = video_path
+        cap = cv2.VideoCapture(video_path)
+        results['total_frames'] = int(cap.get(
+            cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+    if num_frames:
+        results['total_frames'] = num_frames
+
+    pipeline_cfg = dict(cfg.data['test' if 'test' in cfg.data else
+                                 'val'])['pipeline']
+    for tcfg in pipeline_cfg:
+        t = build_from_cfg(dict(tcfg), PIPELINES)
+        results = t(results)
+    imgs = jnp.asarray(np.asarray(results['imgs'])[None])
+    scores = np.asarray(model.apply(variables, imgs,
+                                    return_loss=False))[0]
+    top5 = sorted(enumerate(scores.tolist()), key=lambda kv: -kv[1])[:5]
+    return scores, top5

@@ -17,11 +17,21 @@ from ..builder import build_loss
 
 def topk_accuracy(cls_score: jnp.ndarray, labels: jnp.ndarray, k: int
                   ) -> jnp.ndarray:
-    """Differentiability-free top-k accuracy usable inside jit."""
+    """Sort-free top-k accuracy usable inside jit.
+
+    rank(label) = #logits strictly greater than the label's logit;
+    top-k hit iff rank < k. O(n) elementwise instead of lax.top_k's
+    full sort — with MoCo's (B, 65537) logits the six per-step top_k
+    sorts cost 17 ms/step on v5e (profile_step.py trace); this is the
+    branchless replacement. Ties resolve optimistically (a tie with
+    the label's logit counts as a hit), which only differs from
+    lax.top_k when logits are exactly equal."""
     labels = labels.reshape(-1).astype(jnp.int32)
     k = min(k, cls_score.shape[-1])
-    _, topk_idx = jax.lax.top_k(cls_score, k)
-    hit = (topk_idx == labels[:, None]).any(axis=1)
+    label_logit = jnp.take_along_axis(
+        cls_score, labels[:, None], axis=-1)
+    rank = (cls_score > label_logit).sum(axis=-1)
+    hit = rank < k
     return jax.lax.stop_gradient(hit.mean().astype(jnp.float32))
 
 
