@@ -56,6 +56,35 @@ def build_lr_schedule(lr_config: Dict, base_lr: float, total_epochs: int,
             frac = jnp.clip(progress / max_progress, 0.0, 1.0)
             return min_lr + (base_lr - min_lr) * 0.5 * (
                 jnp.cos(jnp.pi * frac) + 1.0)
+    elif policy == 'TIN':
+        # TINLrUpdaterHook (reference core/scheduler/lr_updater.py:6-40):
+        # cosine annealing to min_lr with warmup iters subtracted from
+        # the progress, and the TIN-repo linear warmup form
+        # k = frac*(1-ratio) + ratio (multiplicative ramp-up from ratio)
+        min_lr = cfg.get('min_lr', 0.0)
+        max_progress = (total_epochs if by_epoch else
+                        total_epochs * steps_per_epoch)
+
+        def regular(step):
+            progress = step / steps_per_epoch if by_epoch else step
+            if warmup is not None:
+                w_prog = warmup_iters / steps_per_epoch if by_epoch \
+                    else warmup_iters
+                frac = jnp.clip((progress - w_prog) /
+                                jnp.maximum(max_progress - w_prog, 1e-8),
+                                0.0, 1.0)
+            else:
+                frac = jnp.clip(progress / max_progress, 0.0, 1.0)
+            return min_lr + (base_lr - min_lr) * 0.5 * (
+                jnp.cos(jnp.pi * frac) + 1.0)
+
+        if warmup == 'linear':
+            def tin_warmup(step):
+                reg = regular(step)
+                frac = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
+                k = frac * (1 - warmup_ratio) + warmup_ratio
+                return jnp.where(step < warmup_iters, reg * k, reg)
+            return tin_warmup
     else:
         raise NotImplementedError(f'lr policy {policy}')
 

@@ -30,6 +30,64 @@ def make_freeze_mask(params, freeze_patterns: Sequence[str]):
     return jax.tree_util.tree_map_with_path(trainable, params)
 
 
+def _tsm_label(path_str: str, fc_lr5: bool) -> str:
+    """Parameter-group label per TSMOptimizerConstructor (reference
+    core/optimizer/tsm_optimizer_constructor.py:22-110):
+    BN params -> zero wd; biases -> 2x lr, zero wd; the cls_head fc gets
+    5x lr (weight) / 10x lr + zero wd (bias) when fc_lr5."""
+    p = path_str.lower()
+    is_bias = p.endswith('bias')
+    if '/bn' in p or 'batchnorm' in p or ('norm' in p and
+                                          p.endswith('scale')):
+        return 'bn'
+    if 'fc_cls' in p and fc_lr5:
+        return 'fc_b10' if is_bias else 'fc_w5'
+    return 'bias2' if is_bias else 'default'
+
+
+def _sgd_group(lr_schedule, lr_mult, wd, momentum, nesterov):
+    chain = []
+    if wd:
+        chain.append(optax.add_decayed_weights(wd))
+    if momentum:
+        chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+    chain.append(optax.scale_by_learning_rate(
+        lambda s: lr_mult * lr_schedule(s)))
+    return optax.chain(*chain)
+
+
+def build_tsm_optimizer(optimizer_cfg: Dict, lr_schedule: Callable,
+                        grad_clip: Optional[Dict] = None,
+                        paramwise_cfg: Optional[Dict] = None):
+    """TSMOptimizerConstructor semantics over optax.multi_transform."""
+    cfg = dict(optimizer_cfg)
+    cfg.pop('type', None)
+    cfg.pop('constructor', None)
+    pw = dict(paramwise_cfg or cfg.pop('paramwise_cfg', {}) or {})
+    fc_lr5 = bool(pw.get('fc_lr5', False))
+    wd = cfg.pop('weight_decay', 0.0)
+    momentum = cfg.pop('momentum', 0.0)
+    nesterov = cfg.pop('nesterov', False)
+    groups = {
+        'default': _sgd_group(lr_schedule, 1.0, wd, momentum, nesterov),
+        'bias2': _sgd_group(lr_schedule, 2.0, 0.0, momentum, nesterov),
+        'bn': _sgd_group(lr_schedule, 1.0, 0.0, momentum, nesterov),
+        'fc_w5': _sgd_group(lr_schedule, 5.0, wd, momentum, nesterov),
+        'fc_b10': _sgd_group(lr_schedule, 10.0, 0.0, momentum,
+                             nesterov),
+    }
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: _tsm_label(_path_str(path), fc_lr5), params)
+
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip['max_norm']))
+    chain.append(optax.multi_transform(groups, label_fn))
+    return optax.chain(*chain)
+
+
 def build_optimizer(optimizer_cfg: Dict,
                     lr_schedule: Callable,
                     grad_clip: Optional[Dict] = None,
@@ -40,6 +98,10 @@ def build_optimizer(optimizer_cfg: Dict,
     grad_clip: dict(max_norm=..., norm_type=2) or None
     """
     cfg = dict(optimizer_cfg)
+    if cfg.get('constructor') == 'TSMOptimizerConstructor':
+        return build_tsm_optimizer(cfg, lr_schedule, grad_clip)
+    cfg.pop('constructor', None)
+    cfg.pop('paramwise_cfg', None)
     opt_type = cfg.pop('type', 'SGD')
     cfg.pop('lr', None)  # schedule supplies lr
     chain = []

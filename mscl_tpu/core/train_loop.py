@@ -286,3 +286,68 @@ class Runner:
 def _state_to_dict(state: TrainState) -> Dict:
     from flax import serialization
     return serialization.to_state_dict(state)
+
+
+class OmniSourceRunner(Runner):
+    """Multi-source epoch runner (reference
+    core/runner/omnisource_runner.py:30-162): loaders[0] is the main
+    source and defines epoch length; each auxiliary source contributes
+    ``train_ratio[1:]`` extra optimizer steps every ``train_ratio[0]``
+    main iterations, with log vars suffixed /auxN."""
+
+    def __init__(self, *args, aux_loaders=(), train_ratio=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.aux_loaders = list(aux_loaders)
+        self.train_ratio = list(train_ratio or
+                                [1] + [1] * len(self.aux_loaders))
+        self._iter = 0
+
+    def _cycle(self, loader):
+        while True:
+            it = iter(loader)
+            try:
+                for b in it:
+                    yield b
+            finally:
+                if hasattr(it, 'close'):
+                    it.close()
+
+    def train_epoch(self, state: TrainState) -> TrainState:
+        self.train_loader.set_epoch(self.epoch)
+        for ld in self.aux_loaders:
+            ld.set_epoch(self.epoch)
+        aux_iters = [self._cycle(ld) for ld in self.aux_loaders]
+        use_aux_per_niter = self.train_ratio[0]
+        aux_times = self.train_ratio[1:]
+        n_batches = len(self.train_loader)
+        t_end = time.time()
+        it = iter(self.train_loader)
+        try:
+            for i, batch in enumerate(it):
+                device_batch = shard_batch(batch, self.mesh)
+                state, log_vars = self._train_step(state, device_batch)
+                if (i + 1) % self.log_interval == 0 or \
+                        i + 1 == n_batches:
+                    self.log(dict(mode='train', epoch=self.epoch + 1,
+                                  iter=i + 1, total_iters=n_batches,
+                                  time=time.time() - t_end,
+                                  **jax.device_get(log_vars)))
+                if self._iter % use_aux_per_niter == 0:
+                    for idx, times in enumerate(aux_times):
+                        for _ in range(times):
+                            aux_batch = shard_batch(next(aux_iters[idx]),
+                                                    self.mesh)
+                            state, aux_vars = self._train_step(
+                                state, aux_batch)
+                            if (i + 1) % self.log_interval == 0:
+                                self.log(dict(
+                                    mode='train', epoch=self.epoch + 1,
+                                    iter=i + 1,
+                                    **{f'{k}/aux{idx}': v for k, v in
+                                       jax.device_get(aux_vars).items()}))
+                self._iter += 1
+                t_end = time.time()
+        finally:
+            if hasattr(it, 'close'):
+                it.close()
+        return state

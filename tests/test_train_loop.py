@@ -180,3 +180,96 @@ class TestSSLSurgery:
             np.array_equal, new_vars['params']['cls_head_m'],
             variables['params']['cls_head_m'])
         assert all(jax.tree.leaves(same_head))
+
+
+class TestTINScheduleAndTSMOptimizer:
+
+    def test_tin_schedule(self):
+        from mscl_tpu.core import build_lr_schedule
+        s = build_lr_schedule(
+            dict(policy='TIN', min_lr=0.001, warmup='linear',
+                 warmup_iters=10, warmup_ratio=0.1, by_epoch=False),
+            0.1, 1, 1)
+        # TIN linear warmup: lr(0) = base * ratio, ramps to base
+        assert float(s(0)) == pytest.approx(0.01, rel=1e-4)
+        assert float(s(10)) == pytest.approx(0.1, rel=1e-4)
+        # anneals toward min_lr afterwards
+        assert float(s(50)) == pytest.approx(0.001, rel=1e-3)
+
+    def test_tsm_param_groups(self):
+        import jax
+        import jax.numpy as jnp
+        from mscl_tpu.core import build_lr_schedule, build_optimizer
+        params = {
+            'backbone': {'conv1': {
+                'conv': {'kernel': jnp.ones((3, 3, 4, 4)),
+                         'bias': jnp.ones(4)},
+                'bn': {'scale': jnp.ones(4), 'bias': jnp.ones(4)}}},
+            'cls_head': {'fc_cls': {'kernel': jnp.ones((4, 2)),
+                                    'bias': jnp.ones(2)}}}
+        lr = build_lr_schedule(dict(policy='fixed'), 1.0, 1, 1)
+        tx = build_optimizer(
+            dict(type='SGD', lr=1.0, momentum=0.0, weight_decay=0.0,
+                 constructor='TSMOptimizerConstructor',
+                 paramwise_cfg=dict(fc_lr5=True)), lr)
+        ups, _ = tx.update(jax.tree.map(jnp.ones_like, params),
+                           tx.init(params), params)
+        def get(*ks):
+            node = ups
+            for k in ks:
+                node = node[k]
+            return float(node.reshape(-1)[0])
+        assert get('backbone', 'conv1', 'conv', 'kernel') == -1.0
+        assert get('backbone', 'conv1', 'conv', 'bias') == -2.0
+        assert get('backbone', 'conv1', 'bn', 'scale') == -1.0
+        assert get('cls_head', 'fc_cls', 'kernel') == -5.0
+        assert get('cls_head', 'fc_cls', 'bias') == -10.0
+
+
+class TestOmniSourceRunner:
+
+    def test_aux_sources_trained_and_logged(self, tmp_path):
+        import jax
+        import numpy as np
+        from mscl_tpu.core import (OmniSourceRunner, build_lr_schedule,
+                                   build_optimizer, init_state)
+        from mscl_tpu.datasets import NumpyLoader
+        from mscl_tpu.models import RECOGNIZERS
+
+        model = RECOGNIZERS.get('Recognizer3D')(
+            backbone=dict(type='resnet_flow.r2d_18'),
+            cls_head=dict(type='I3DHead', num_classes=2,
+                          in_channels=128, spatial_type='avg',
+                          dropout_ratio=0.0))
+
+        class DS:
+            def __init__(self, n, seed):
+                self.n = n
+                self.rng = np.random.default_rng(seed)
+                self.video_infos = [dict(label=i % 2) for i in range(n)]
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return dict(
+                    imgs=self.rng.random((1, 3, 4, 16, 16)).astype(
+                        np.float32),
+                    label=np.int64(i % 2))
+
+        main = NumpyLoader(DS(16, 0), batch_size=8, shuffle=False)
+        aux = NumpyLoader(DS(8, 1), batch_size=8, shuffle=False)
+        lr = build_lr_schedule(dict(policy='fixed'), 0.01, 1, 1)
+        tx = build_optimizer(dict(type='SGD', lr=0.01, momentum=0.9), lr)
+        runner = OmniSourceRunner(
+            model, tx, main,
+            cfg=dict(total_epochs=1, log_config=dict(interval=1),
+                     checkpoint_config=dict(interval=1)),
+            work_dir=str(tmp_path), aux_loaders=[aux],
+            train_ratio=[1, 2])
+        state = init_state(model, tx, main_batch := next(iter(main)))
+        state = runner.run(state)
+        # 2 main batches + 2 aux steps each = 6 optimizer steps
+        assert int(state.step) == 6
+        log = open(tmp_path / 'log.json').read()
+        assert 'loss/aux0' in log
