@@ -192,3 +192,10 @@ class AVADataset(BaseDataset):
             dets.append(res)
         return {'mAP@0.5IOU': frame_map(dets, gts,
                                         num_classes=self._num_classes)}
+
+
+# Alias: reference configs say type='RedisAVADataset' (reference
+# datasets/redis_ava_dataset.py:20 — AVA annotations served from redis);
+# the TPU-native data plane reads the same csv/pkl files from the
+# filesystem, so the alias shares the implementation.
+DATASETS.register_module(name='RedisAVADataset', module=AVADataset)

@@ -6,6 +6,8 @@ from .local_align_heads import (FGMoDistPredHead, MAMSCLWithAugPosHead,
                                 MoDistv2PosHead, MSCLWithAugAPPosHead,
                                 MSCLWithAugPosHead, MSCLWithAugSimpleHead,
                                 MTMoDistPredHead)
+from .lfb import (ACRNHead, FBOHead, FBONonLocal, LFB, LFBInferHead,
+                  NonLocalLayer, sample_lfb)
 from .local_cl_head import MSCLWithAugPosHeadV2
 from .moco_head import MoCoHead
 from .recognition_heads import (AudioTSNHead, SlowFastHead, TRNHead,
@@ -24,4 +26,6 @@ __all__ = ['BaseHead', 'topk_accuracy', 'I3DHead', 'MoCoHead',
            'MSFHead', 'NMSFHead', 'MSCLWithAugMSFMxHead',
            'MSCLWithAugDistillMxHead', 'TSNHead', 'TSMHead', 'TPNHead',
            'TimeSformerHead', 'AudioTSNHead', 'TRNHead',
+           'LFB', 'FBOHead', 'FBONonLocal', 'NonLocalLayer',
+           'LFBInferHead', 'ACRNHead', 'sample_lfb',
            'X3DHead', 'SlowFastHead']

@@ -63,10 +63,27 @@ def _window_from_patch(patch, fx, fy, r):
             fy * (1 - fx) * p10 + fy * fx * p11)
 
 
+def _level_geometry(coords_tile, level, hl, wl, radius):
+    """Per-pixel patch start (in padded space) + fractional weights."""
+    r = radius
+    pad = 2 * r + 2
+    scale = jnp.float32(2 ** level)
+    cx = coords_tile[:, 0] / scale
+    cy = coords_tile[:, 1] / scale
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0).astype(jnp.float32)
+    fy = (cy - y0).astype(jnp.float32)
+    # clipping parks fully-outside windows inside the zero padding
+    # (pad = window size)
+    sx = jnp.clip(x0.astype(jnp.int32) - r + pad, 0, wl + pad)
+    sy = jnp.clip(y0.astype(jnp.int32) - r + pad, 0, hl + pad)
+    return sx, sy, fx, fy
+
+
 def _lookup_tile(slab, coords_tile, h, w, num_levels, radius):
     """slab (T, H*W) f32, coords_tile (T, 2) level-0 (x, y) ->
-    (T, num_levels*(2r+1)^2). Shared by the Pallas kernel body and the
-    scan fallback (identical numerics)."""
+    (T, num_levels*(2r+1)^2). Pure-jnp path (scan fallback / oracle)."""
     tile = slab.shape[0]
     r = radius
     k = 2 * r + 1
@@ -78,17 +95,7 @@ def _lookup_tile(slab, coords_tile, h, w, num_levels, radius):
             prev = _level_dims(h, w, num_levels)[i - 1]
             lvl = _pool2x2(lvl, prev[0], prev[1])
         padded = jnp.pad(lvl, ((0, 0), (pad, pad), (pad, pad)))
-        scale = jnp.float32(2 ** i)
-        cx = coords_tile[:, 0] / scale
-        cy = coords_tile[:, 1] / scale
-        x0 = jnp.floor(cx)
-        y0 = jnp.floor(cy)
-        fx = (cx - x0).astype(jnp.float32)
-        fy = (cy - y0).astype(jnp.float32)
-        # patch start in padded space; clipping parks fully-outside
-        # windows inside the zero padding (pad = window size)
-        sx = jnp.clip(x0.astype(jnp.int32) - r + pad, 0, wl + pad)
-        sy = jnp.clip(y0.astype(jnp.int32) - r + pad, 0, hl + pad)
+        sx, sy, fx, fy = _level_geometry(coords_tile, i, hl, wl, radius)
 
         def per_pixel(p, acc):
             patch = jax.lax.dynamic_slice(
@@ -103,17 +110,43 @@ def _lookup_tile(slab, coords_tile, h, w, num_levels, radius):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _corr_kernel(f1_ref, f2_ref, coords_ref, out_ref, *, h, w,
+def _corr_kernel(f1_ref, f2_ref, coords_ref, out_ref, *scratch, h, w,
                  num_levels, radius):
+    """Pallas body: MXU slab + per-level padded scratch writes, then
+    per-pixel bilinear windows via pl.ds ref indexing (Mosaic supports
+    dynamic slicing on REFS, not on values)."""
     f1 = f1_ref[0]                       # (TILE, C)
     f2 = f2_ref[0]                       # (H*W, C)
     c = f1.shape[-1]
+    tile = f1.shape[0]
+    r = radius
+    k = 2 * r + 1
+    pad = 2 * r + 2
     slab = jax.lax.dot_general(
         f1, f2, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     slab = slab / jnp.sqrt(jnp.float32(c))
-    out_ref[0] = _lookup_tile(slab, coords_ref[0], h, w, num_levels,
-                              radius)
+
+    lvl = slab.reshape(tile, h, w)
+    coords_tile = coords_ref[0]
+    for i, (hl, wl) in enumerate(_level_dims(h, w, num_levels)):
+        if i > 0:
+            prev = _level_dims(h, w, num_levels)[i - 1]
+            lvl = _pool2x2(lvl, prev[0], prev[1])
+        pad_ref = scratch[i]             # (TILE, hl+2p, wl+2p)
+        pad_ref[:] = jnp.zeros_like(pad_ref)
+        pad_ref[:, pad:pad + hl, pad:pad + wl] = lvl
+        sx, sy, fx, fy = _level_geometry(coords_tile, i, hl, wl, radius)
+
+        def per_pixel(p, _, i=i, pad_ref=pad_ref, sx=sx, sy=sy,
+                      fx=fx, fy=fy):
+            patch = pad_ref[p, pl.ds(sy[p], 2 * r + 2),
+                            pl.ds(sx[p], 2 * r + 2)]
+            win = _window_from_patch(patch, fx[p], fy[p], r)
+            out_ref[0, p, pl.ds(i * k * k, k * k)] = win.reshape(k * k)
+            return 0
+
+        jax.lax.fori_loop(0, tile, per_pixel, 0)
 
 
 def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
@@ -137,6 +170,11 @@ def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
 
     kernel = functools.partial(_corr_kernel, h=h, w=w,
                                num_levels=num_levels, radius=radius)
+    pad = 2 * radius + 2
+    scratch = [
+        pltpu.VMEM((tile, hl + 2 * pad, wl + 2 * pad), jnp.float32)
+        for hl, wl in _level_dims(h, w, num_levels)
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(n, n_tiles),
@@ -151,6 +189,7 @@ def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
         out_specs=pl.BlockSpec((1, tile, k2), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, hw_pad, k2), jnp.float32),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * hw_pad * hw * c, transcendentals=0,
             bytes_accessed=4 * n * (hw_pad * c + hw * c + hw_pad * k2)),

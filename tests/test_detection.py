@@ -270,3 +270,66 @@ class TestBBoxAssignSample:
                          proposals=np.zeros((0, 4), np.float32)))
         assert results['rois'].shape == (4, 4)
         assert results['roi_labels'].shape == (4, 5)
+
+
+class TestLFBStack:
+    """Long-term feature bank: infer-head collection -> pkl -> LFB
+    sampling -> FBOHead fusion -> ACRNHead (reference fbo_head.py,
+    lfb_infer_head.py, misc_head.py, common/lfb.py)."""
+
+    def test_infer_save_sample_fuse(self, tmp_path):
+        from mscl_tpu.models.heads import (ACRNHead, FBOHead, LFB,
+                                           LFBInferHead, sample_lfb)
+        rng = np.random.default_rng(0)
+        C = 16
+        infer = LFBInferHead(str(tmp_path), dataset_mode='train',
+                             use_half_precision=False)
+        # two keyframes, 2 RoIs each
+        metas = [dict(img_key='vidA,0902'), dict(img_key='vidA,0903')]
+        x = rng.random((4, 2, 3, 3, C)).astype(np.float32)
+        rois = np.array([[0, 0, 0, 4, 4], [0, 1, 1, 5, 5],
+                         [1, 0, 0, 4, 4], [1, 2, 2, 6, 6]], np.float32)
+        out = infer(x, rois, metas)
+        np.testing.assert_array_equal(out, x)  # passthrough
+        path = infer.save()
+
+        lfb = LFB(str(tmp_path), max_num_sampled_feat=2, window_size=4,
+                  lfb_channels=C, dataset_modes=('train',))
+        assert len(lfb) == 1
+        lt = lfb['vidA,0902']
+        assert lt.shape == (8, C)
+        # both stored features of second 902 appear in its window slots
+        assert np.abs(lt).sum() > 0
+
+        lt_batch = sample_lfb(lfb, ['vidA,0902', 'vidA,0903'],
+                              rng=np.random.default_rng(0))
+        assert lt_batch.shape == (2, 8, C)
+
+        head = FBOHead(fbo_cfg=dict(type='non_local',
+                                    st_feat_channels=C,
+                                    lt_feat_channels=C,
+                                    latent_channels=8))
+        roi_feat = jnp.asarray(rng.random((2, 2, 3, 3, C)),
+                               jnp.float32)
+        v = head.init({'params': jax.random.PRNGKey(0)},
+                      roi_feat, jnp.asarray(lt_batch))
+        fused = head.apply(v, roi_feat, jnp.asarray(lt_batch))
+        # identity (C) + non-local output (latent_channels), matching
+        # the reference where fbo_feat stays in latent space
+        assert fused.shape == (2, C + 8)
+
+        # avg/max FBO variants are parameter-free paths
+        for mode in ('avg', 'max'):
+            h2 = FBOHead(fbo_cfg=dict(type=mode))
+            v2 = h2.init({'params': jax.random.PRNGKey(0)}, roi_feat,
+                         jnp.asarray(lt_batch))
+            assert h2.apply(v2, roi_feat,
+                            jnp.asarray(lt_batch)).shape == (2, 2 * C)
+
+        acrn = ACRNHead(in_channels=2 * C, out_channels=C)
+        ctx = jnp.asarray(rng.random((2, 2, 6, 6, C)), jnp.float32)
+        va = acrn.init({'params': jax.random.PRNGKey(0)}, roi_feat,
+                       ctx, jnp.asarray(rois[:2]))
+        y, _ = acrn.apply(va, roi_feat, ctx, jnp.asarray(rois[:2]),
+                          train=True, mutable=['batch_stats'])
+        assert y.shape == (2, 2, 6, 6, C)
