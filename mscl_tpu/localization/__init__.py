@@ -1,3 +1,4 @@
+from .bsn_utils import generate_bsp_feature, generate_candidate_proposals
 from .det_eval import box_iou, frame_map
 from .ssn_utils import (average_precision_at_temporal_iou, eval_ap,
                         load_localize_proposal_file, perform_regression,
@@ -10,4 +11,5 @@ __all__ = ['temporal_iou', 'temporal_iop', 'soft_nms', 'post_processing',
            'average_recall_at_avg_proposals', 'box_iou', 'frame_map',
            'load_localize_proposal_file', 'perform_regression',
            'temporal_nms', 'eval_ap',
-           'average_precision_at_temporal_iou']
+           'average_precision_at_temporal_iou',
+           'generate_candidate_proposals', 'generate_bsp_feature']

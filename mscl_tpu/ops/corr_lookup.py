@@ -110,43 +110,67 @@ def _lookup_tile(slab, coords_tile, h, w, num_levels, radius):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _corr_kernel(f1_ref, f2_ref, coords_ref, out_ref, *scratch, h, w,
-                 num_levels, radius):
-    """Pallas body: MXU slab + per-level padded scratch writes, then
-    per-pixel bilinear windows via pl.ds ref indexing (Mosaic supports
-    dynamic slicing on REFS, not on values)."""
+def _corr_kernel(f1_ref, *rest, h, w, num_levels, radius):
+    """Pallas body. Correlation is LINEAR in fmap2, so the avg-pooled
+    correlation pyramid equals correlating against avg-pooled fmap2 —
+    the pooled levels arrive as separate inputs and each level is one
+    MXU matmul written row-wise into a zero-padded scratch; per-pixel
+    bilinear windows then read via pl.ds REF indexing (Mosaic supports
+    dynamic slicing on refs; value dynamic_slice and lane-dim reshapes
+    do not lower)."""
+    f2_refs = rest[:num_levels]          # (1, hl, wl, C) each
+    coords_ref = rest[num_levels]        # (1, TILE, 2) in SMEM
+    out_ref = rest[num_levels + 1]
+    scratch = rest[num_levels + 2:]
     f1 = f1_ref[0]                       # (TILE, C)
-    f2 = f2_ref[0]                       # (H*W, C)
     c = f1.shape[-1]
-    tile = f1.shape[0]
     r = radius
     k = 2 * r + 1
     pad = 2 * r + 2
-    slab = jax.lax.dot_general(
-        f1, f2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    slab = slab / jnp.sqrt(jnp.float32(c))
+    inv_sqrt_c = 1.0 / jnp.sqrt(jnp.float32(c))
 
-    lvl = slab.reshape(tile, h, w)
-    coords_tile = coords_ref[0]
     for i, (hl, wl) in enumerate(_level_dims(h, w, num_levels)):
-        if i > 0:
-            prev = _level_dims(h, w, num_levels)[i - 1]
-            lvl = _pool2x2(lvl, prev[0], prev[1])
         pad_ref = scratch[i]             # (TILE, hl+2p, wl+2p)
         pad_ref[:] = jnp.zeros_like(pad_ref)
-        pad_ref[:, pad:pad + hl, pad:pad + wl] = lvl
-        sx, sy, fx, fy = _level_geometry(coords_tile, i, hl, wl, radius)
+        for y in range(hl):
+            row = f2_refs[i][0, y]       # (wl, C)
+            slab_row = jax.lax.dot_general(
+                f1, row, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            pad_ref[:, pad + y, pad:pad + wl] = slab_row * inv_sqrt_c
+        scale = jnp.float32(2 ** i)
 
-        def per_pixel(p, _, i=i, pad_ref=pad_ref, sx=sx, sy=sy,
-                      fx=fx, fy=fy):
-            patch = pad_ref[p, pl.ds(sy[p], 2 * r + 2),
-                            pl.ds(sx[p], 2 * r + 2)]
-            win = _window_from_patch(patch, fx[p], fy[p], r)
-            out_ref[0, p, pl.ds(i * k * k, k * k)] = win.reshape(k * k)
+        def per_pixel(p, _, i=i, hl=hl, wl=wl, pad_ref=pad_ref,
+                      scale=scale):
+            cx = coords_ref[0, p, 0] / scale
+            cy = coords_ref[0, p, 1] / scale
+            x0 = jnp.floor(cx)
+            y0 = jnp.floor(cy)
+            fx = (cx - x0).astype(jnp.float32)
+            fy = (cy - y0).astype(jnp.float32)
+            sx = jnp.clip(x0.astype(jnp.int32) - r + pad, 0, wl + pad)
+            sy = jnp.clip(y0.astype(jnp.int32) - r + pad, 0, hl + pad)
+            # dynamic slicing on the LANE dim must be 128-aligned on
+            # TPU: read full rows (static lanes) and rotate the window
+            # to the front instead (tpu.dynamic_rotate); the bilinear
+            # blend + store run row-wise to avoid sublane->lane
+            # reshapes (also unsupported)
+            rows = pad_ref[p, pl.ds(sy, 2 * r + 2), :]
+            rolled = pltpu.roll(rows, rows.shape[1] - sx, axis=1)
+            w00 = (1 - fy) * (1 - fx)
+            w01 = (1 - fy) * fx
+            w10 = fy * (1 - fx)
+            w11 = fy * fx
+            for dy in range(k):
+                r0 = rolled[dy]
+                r1 = rolled[dy + 1]
+                row_win = (w00 * r0[:k] + w01 * r0[1:k + 1] +
+                           w10 * r1[:k] + w11 * r1[1:k + 1])
+                start = i * k * k + dy * k
+                out_ref[0, p, start:start + k] = row_win
             return 0
 
-        jax.lax.fori_loop(0, tile, per_pixel, 0)
+        jax.lax.fori_loop(0, f1.shape[0], per_pixel, 0)
 
 
 def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
@@ -161,18 +185,37 @@ def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     n_tiles = -(-hw // tile)
     hw_pad = n_tiles * tile
     f1 = fmap1.reshape(n, hw, c).astype(jnp.float32)
-    f2 = fmap2.reshape(n, hw, c).astype(jnp.float32)
     cds = coords.reshape(n, hw, 2).astype(jnp.float32)
     if hw_pad != hw:
         f1 = jnp.pad(f1, ((0, 0), (0, hw_pad - hw), (0, 0)))
         cds = jnp.pad(cds, ((0, 0), (0, hw_pad - hw), (0, 0)))
     k2 = num_levels * (2 * radius + 1) ** 2
 
+    # corr is linear in fmap2: pooled-corr == corr-with-pooled-fmap2,
+    # so the pyramid levels are plain XLA avg-pools outside the kernel
+    f2_levels = []
+    f2l = fmap2.astype(jnp.float32)
+    for i, (hl, wl) in enumerate(_level_dims(h, w, num_levels)):
+        if i > 0:
+            prev = f2_levels[-1]
+            ph, pw = prev.shape[1], prev.shape[2]
+            f2l = prev[:, :hl * 2, :wl * 2].reshape(
+                n, hl, 2, wl, 2, c).mean(axis=(2, 4))
+        f2_levels.append(f2l)
+
     kernel = functools.partial(_corr_kernel, h=h, w=w,
                                num_levels=num_levels, radius=radius)
     pad = 2 * radius + 2
+    # lane dim padded to a 128 multiple: tpu.dynamic_rotate (the
+    # window-alignment trick in the kernel) requires aligned shapes
     scratch = [
-        pltpu.VMEM((tile, hl + 2 * pad, wl + 2 * pad), jnp.float32)
+        pltpu.VMEM((tile, hl + 2 * pad,
+                    -(-(wl + 2 * pad) // 128) * 128), jnp.float32)
+        for hl, wl in _level_dims(h, w, num_levels)
+    ]
+    f2_specs = [
+        pl.BlockSpec((1, hl, wl, c), lambda b, t: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
         for hl, wl in _level_dims(h, w, num_levels)
     ]
     out = pl.pallas_call(
@@ -181,10 +224,9 @@ def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hw, c), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *f2_specs,
             pl.BlockSpec((1, tile, 2), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, k2), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
@@ -194,7 +236,7 @@ def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
             flops=2 * n * hw_pad * hw * c, transcendentals=0,
             bytes_accessed=4 * n * (hw_pad * c + hw * c + hw_pad * k2)),
         interpret=interpret,
-    )(f1, f2, cds)
+    )(f1, *f2_levels, cds)
     return out[:, :hw].reshape(n, h, w, k2)
 
 

@@ -241,3 +241,50 @@ class TestSSNDataPath:
         gts = ds.get_all_gts()
         ap = eval_ap([dets[1]], [gts[1]], [0.5])
         assert ap[0, 0] == pytest.approx(1.0)
+
+
+class TestBSNProposalGeneration:
+    """BSN PGM (reference bsn_utils.py:9-280): TEM outputs -> candidate
+    proposals -> BSP features feeding the PEM."""
+
+    def _video(self, tscale=20):
+        rng = np.random.default_rng(0)
+        t = np.arange(tscale) / tscale
+        # actionness high inside [0.3, 0.6]; start/end peaks at edges
+        action = ((t >= 0.3) & (t <= 0.6)).astype(np.float32) * 0.9
+        start = np.exp(-((t - 0.3) ** 2) / 0.002).astype(np.float32)
+        end = np.exp(-((t - 0.6) ** 2) / 0.002).astype(np.float32)
+        tgap = 1.0 / tscale
+        tmin = t
+        tmax = t + tgap
+        tem = np.stack([action, start, end, tmin, tmax],
+                       axis=1).astype(np.float32)
+        info = dict(video_name='v_test', duration_frame=200,
+                    duration_second=20.0, feature_frame=200,
+                    annotations=[dict(segment=[6.0, 12.0],
+                                      label='x')])
+        return tem, info
+
+    def test_candidates_and_bsp(self):
+        from mscl_tpu.localization import (generate_bsp_feature,
+                                           generate_candidate_proposals)
+        tem, info = self._video()
+        props = generate_candidate_proposals(
+            [0], [info], {'v_test': tem}, temporal_scale=20,
+            peak_threshold=0.5)['v_test']
+        assert props.shape[1] == 7
+        assert len(props) > 0
+        # best-scored proposal bracket matches the gt segment (0.3-0.6)
+        best = props[0]
+        assert 0.2 < best[0] < 0.4 and 0.5 < best[1] < 0.7
+        # match_iou column reflects overlap with the gt
+        assert props[:, 5].max() > 0.7
+
+        bsp = generate_bsp_feature(
+            [0], [info], {'v_test': tem}, {'v_test': props}, top_k=10,
+            num_sample_start=4, num_sample_end=4, num_sample_action=8,
+            num_sample_interp=2)['v_test']
+        assert bsp.shape == (min(10, len(props)), 4 + 4 + 8)
+        assert np.isfinite(bsp).all()
+        # action region of the best proposal carries high actionness
+        assert bsp[0, 8:].mean() > 0.5
