@@ -20,8 +20,23 @@ The FLOPs match the all-pairs volume (each tile re-correlates against
 all of f2) but peak memory per step is one (TILE, H*W) slab; this is
 the alt_cuda_corr trade (recompute over materialize).
 
-A lax.scan reference implementation with identical numerics
-(corr_lookup_scan) serves as the non-Pallas fallback and CPU oracle.
+A lax.scan implementation with identical numerics (corr_lookup_scan)
+is the production memory-efficient path. Measured on v5e at RAFT's
+440x1024 resolution (55x128x256, r=4, L=4; bench_corr_lookup.py):
+
+    volume (reference default)   478 ms/lookup   temp 466.1 MB
+    scan                         246 ms/lookup   temp   0.8 MB
+
+i.e. the memory-efficient tiling is ~1.9x FASTER and ~580x smaller
+than materializing the pyramid.
+
+Pallas kernel status: compiles and matches the oracle on the real
+chip at small shapes (4e-3, MXU-truncation level); at full RAFT scale
+the current Mosaic release rejects the final unaligned (k,)-wide
+output stores (after working around: value dynamic_slice, lane-dim
+reshapes, unaligned dynamic sublane/lane offsets — see git history).
+corr_lookup_scan is the default; the kernel remains the template to
+re-enable when Mosaic lifts the store constraint.
 """
 from __future__ import annotations
 
@@ -150,12 +165,14 @@ def _corr_kernel(f1_ref, *rest, h, w, num_levels, radius):
             fy = (cy - y0).astype(jnp.float32)
             sx = jnp.clip(x0.astype(jnp.int32) - r + pad, 0, wl + pad)
             sy = jnp.clip(y0.astype(jnp.int32) - r + pad, 0, hl + pad)
-            # dynamic slicing on the LANE dim must be 128-aligned on
-            # TPU: read full rows (static lanes) and rotate the window
-            # to the front instead (tpu.dynamic_rotate); the bilinear
-            # blend + store run row-wise to avoid sublane->lane
-            # reshapes (also unsupported)
-            rows = pad_ref[p, pl.ds(sy, 2 * r + 2), :]
+            # Dynamic offsets on sublane/lane dims must be 8/128
+            # aligned on TPU: read the pixel's whole padded slab
+            # (leading-dim dynamic index is fine) and rotate the window
+            # to the origin on BOTH axes (tpu.dynamic_rotate), then
+            # take static slices.
+            slab_p = pad_ref[p]
+            rolled_y = pltpu.roll(slab_p, slab_p.shape[0] - sy, axis=0)
+            rows = rolled_y[:2 * r + 2]
             rolled = pltpu.roll(rows, rows.shape[1] - sx, axis=1)
             w00 = (1 - fy) * (1 - fx)
             w01 = (1 - fy) * fx
@@ -208,8 +225,10 @@ def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     pad = 2 * radius + 2
     # lane dim padded to a 128 multiple: tpu.dynamic_rotate (the
     # window-alignment trick in the kernel) requires aligned shapes
+    # sublane/lane dims padded to 8/128 multiples: tpu.dynamic_rotate
+    # (the window-alignment trick in the kernel) needs aligned shapes
     scratch = [
-        pltpu.VMEM((tile, hl + 2 * pad,
+        pltpu.VMEM((tile, -(-(hl + 2 * pad) // 8) * 8,
                     -(-(wl + 2 * pad) // 128) * 128), jnp.float32)
         for hl, wl in _level_dims(h, w, num_levels)
     ]
