@@ -199,6 +199,13 @@ class VideoResNet(nn.Module):
         if self.stem == 'r3d':
             x = ConvBN(self.base_width, (3, 7, 7), (1, 2, 2), (1, 3, 3),
                        dtype=self.dtype, name='stem')(x, train)
+        elif self.stem == 'r3d_pool':
+            # BasicDownSampleStem (reference r3d.py:186-195): r3d stem
+            # followed by a spatial max-pool
+            x = ConvBN(self.base_width, (3, 7, 7), (1, 2, 2), (1, 3, 3),
+                       dtype=self.dtype, name='stem')(x, train)
+            x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
+                            padding=[(0, 0), (1, 1), (1, 1)])
         elif self.stem == 'flow_basic':
             x = ConvBN(self.base_width, (1, 7, 7), (2, 2, 2), (0, 3, 3),
                        dtype=self.dtype, name='stem')(x, train)
@@ -364,3 +371,35 @@ class ResNet2Plus1d(nn.Module):
                 in_planes = planes
             outs.append(x)
         return outs
+
+
+# ------------------------------------------------------- configurable R3D
+_R3D_BLOCKS = {'BasicBlock': 'basic', 'Bottleneck': 'bottleneck'}
+_R3D_MAKERS = {'Conv3DSimple': 'simple3d',
+               'Conv3DNoTemporal': 'no_temporal',
+               'Conv3DNoDownSample': 'no_downsample'}
+_R3D_STEMS = {'BasicStem': 'r3d', 'BasicDownSampleStem': 'r3d_pool'}
+
+
+def _r3d_adapter(block='BasicBlock', conv_makers='Conv3DSimple',
+                 layers=(2, 2, 2, 2), stem='BasicStem',
+                 frozen_stages=-1, zero_init_residual=False,
+                 use_dilation=False, num_classes=400, pretrained=None,
+                 **kwargs):
+    """Configurable R3D with the reference's string names (reference
+    r3d.py:216-363: blocks BasicBlock/Bottleneck, conv makers
+    Conv3DSimple/Conv3DNoTemporal, stems BasicStem/BasicDownSampleStem;
+    Conv2Plus1D/R2Plus1dStem are served by ResNet2Plus1d)."""
+    if isinstance(conv_makers, str):
+        conv_makers = [conv_makers] * 4
+    if 'Conv2Plus1D' in conv_makers or stem == 'R2Plus1dStem':
+        raise ValueError('use type=ResNet2Plus1d for the factorized '
+                         '(2+1)D architecture')
+    return VideoResNet(
+        block=_R3D_BLOCKS[block],
+        conv_makers=tuple(_R3D_MAKERS[m] for m in conv_makers),
+        layers=tuple(layers), stem=_R3D_STEMS[stem], base_width=64,
+        **kwargs)
+
+
+BACKBONES.register_module(name='R3D', module=_r3d_adapter)
