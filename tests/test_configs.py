@@ -54,3 +54,16 @@ def test_reference_dataset_alias():
     # configs written against the reference still build
     assert 'RedisRawframeDataset' in DATASETS
     assert 'NoriDecode' in PIPELINES
+
+
+@pytest.mark.parametrize('cfg_path', CONFIGS,
+                         ids=[osp.basename(p) for p in CONFIGS])
+def test_config_model_constructs(cfg_path):
+    """Construct the model object from every shipped config — catches
+    unexpected-kwarg mismatches that registry resolution misses
+    (flax dataclass construction is cheap; no init/forward)."""
+    from mscl_tpu.apis.train import build_model_from_cfg
+    cfg = Config.fromfile(cfg_path)
+    model_cfg = {k: v for k, v in dict(cfg.model).items()}
+    model = build_model_from_cfg(model_cfg)
+    assert model is not None
