@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ..builder import BACKBONES
 from ...ops.conv3d import conv3d
+from ...ops.fast_bn import FastBatchNorm
 
 # torch-parity initializers (fastonly.py:424-436 / torchvision defaults)
 conv_init = nn.initializers.variance_scaling(2.0, 'fan_out',
@@ -83,7 +84,11 @@ class ConvBN(nn.Module):
         if self.use_bn:
             # BN compute follows the model dtype (keeps the conv->BN->relu
             # chain in bf16 on TPU); statistics/params stay f32 (flax
-            # computes mean/var in f32 before casting)
+            # computes mean/var in f32 before casting).
+            # NOTE: ops/fast_bn.py (lane-folded stats) was A/B'd here and
+            # measured SLOWER in the full step (81.6 vs 77.6 ms/step) —
+            # the fold breaks XLA's conv-epilogue stat fusion; keep the
+            # plain flax BN.
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name='bn')(x)

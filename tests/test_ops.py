@@ -128,3 +128,34 @@ class TestCorrLookup:
         lo2, up2 = m_scan.apply(v, img, img)
         np.testing.assert_allclose(np.asarray(up1), np.asarray(up2),
                                    atol=1e-4)
+
+
+class TestFastBatchNorm:
+    """ops/fast_bn.py — lane-folded BN numerics vs flax nn.BatchNorm
+    (kept as a documented perf experiment; not wired into ConvBN)."""
+
+    def test_matches_flax_bn(self):
+        import jax
+        from flax import linen as nn
+        from mscl_tpu.ops.fast_bn import FastBatchNorm
+        rng = np.random.default_rng(0)
+        for shape in [(4, 3, 8, 8, 64), (4, 7, 7, 64), (2, 5, 128)]:
+            x = jnp.asarray(rng.normal(size=shape) * 2 + 1, jnp.float32)
+            scale = jnp.asarray(rng.normal(size=shape[-1]) * 0.5 + 1,
+                                jnp.float32)
+            bias = jnp.asarray(rng.normal(size=shape[-1]), jnp.float32)
+            ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                               epsilon=1e-5)
+            fbn = FastBatchNorm(use_running_average=False, momentum=0.9,
+                                epsilon=1e-5)
+            stats = ref.init(jax.random.PRNGKey(0), x)['batch_stats']
+            params = {'scale': scale, 'bias': bias}
+            yr, ur = ref.apply({'params': params, 'batch_stats': stats},
+                               x, mutable=['batch_stats'])
+            yf, uf = fbn.apply({'params': params, 'batch_stats': stats},
+                               x, mutable=['batch_stats'])
+            np.testing.assert_allclose(np.asarray(yr), np.asarray(yf),
+                                       atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(ur['batch_stats']['var']),
+                np.asarray(uf['batch_stats']['var']), atol=1e-4)
