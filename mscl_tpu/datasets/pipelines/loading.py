@@ -393,3 +393,31 @@ class GenerateLocalizationLabels:
         assert 'gt_bbox' in results
         results['gt_bbox'] = np.asarray(results['gt_bbox'], np.float32)
         return results
+
+
+# Reference-config compatibility: decord / PyAV are not available in
+# this environment; their Init/Decode transforms map onto the cv2
+# video backend (same results-dict contract: filename -> video_reader
+# -> imgs at frame_inds). Reference: loading.py Decord*/PyAV* classes.
+@PIPELINES.register_module()
+class DecordInit(OpenCVInit):
+    def __init__(self, io_backend='disk', num_threads=1, **kwargs):
+        super().__init__(io_backend=io_backend)
+
+
+@PIPELINES.register_module()
+class DecordDecode(OpenCVDecode):
+    def __init__(self, mode='accurate', **kwargs):
+        super().__init__()
+
+
+@PIPELINES.register_module()
+class PyAVInit(OpenCVInit):
+    def __init__(self, io_backend='disk', **kwargs):
+        super().__init__(io_backend=io_backend)
+
+
+@PIPELINES.register_module()
+class PyAVDecode(OpenCVDecode):
+    def __init__(self, multi_thread=False, **kwargs):
+        super().__init__()
