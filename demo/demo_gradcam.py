@@ -38,7 +38,7 @@ def main():
     from mscl_tpu.apis.train import build_model_from_cfg, \
         example_batch_from
     from mscl_tpu.core import (build_lr_schedule, build_optimizer,
-                               init_state, load_checkpoint)
+                               init_state, load_checkpoint, restore_model_state)
     from mscl_tpu.datasets import build_dataset
     from mscl_tpu.utils.gradcam import gradcam_3d, overlay_cam
 
@@ -56,7 +56,7 @@ def main():
     state = init_state(model, tx, {'imgs': imgs,
                                    'label': np.zeros((1,), np.int64)})
     ckpt = load_checkpoint(args.checkpoint)
-    state = serialization.from_state_dict(state, ckpt)
+    state = restore_model_state(state, ckpt)
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
     cam, scores = gradcam_3d(model, variables, imgs,

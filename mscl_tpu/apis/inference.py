@@ -108,7 +108,7 @@ def retrieval_recall(train_feats: np.ndarray, train_labels,
     te = te / np.clip(np.linalg.norm(te, axis=1, keepdims=True), 1e-12,
                       None)
 
-    max_k = max(topk)
+    max_k = min(max(topk), train_feats.shape[0])
 
     @jax.jit
     def topk_idx(a, b):
@@ -121,7 +121,8 @@ def retrieval_recall(train_feats: np.ndarray, train_labels,
     hits = neighbor_labels == test_labels[:, None]
     out = {}
     for k in topk:
-        out[f'recall@{k}'] = float(hits[:, :k].any(axis=1).mean())
+        out[f'recall@{k}'] = float(
+            hits[:, :min(k, max_k)].any(axis=1).mean())
     return out
 
 

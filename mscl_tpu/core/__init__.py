@@ -1,7 +1,7 @@
 from .bbox import (MaxIoUAssignerAVA, RandomSampler, assign_and_sample,
                    bbox_overlaps, bbox_target)
 from .checkpoint import (latest_checkpoint, load_checkpoint, publish_model,
-                         save_checkpoint)
+                         restore_model_state, save_checkpoint)
 from .evaluation.accuracy import (confusion_matrix, mean_average_precision,
                                   mean_class_accuracy,
                                   mmit_mean_average_precision,
@@ -20,5 +20,6 @@ __all__ = ['confusion_matrix', 'mean_average_precision',
            'OmniSourceRunner', 'TrainState', 'init_state',
            'make_train_step', 'save_checkpoint', 'load_checkpoint',
            'latest_checkpoint', 'publish_model', 'precise_bn_update',
+           'restore_model_state',
            'MaxIoUAssignerAVA', 'RandomSampler', 'assign_and_sample',
            'bbox_overlaps', 'bbox_target']

@@ -87,3 +87,21 @@ def publish_model(in_path: str, out_path: str) -> str:
     with open(final, 'wb') as f:
         f.write(blob)
     return final
+
+
+def restore_model_state(state, ckpt: Dict[str, Any]):
+    """Restore only the model collections (params / batch_stats /
+    moco_state) from a training checkpoint into an eval-side TrainState.
+
+    Eval entry points build a dummy optimizer, so the checkpoint's
+    opt_state tree (clip + wd + momentum + lr transforms) does not match
+    and a full from_state_dict fails; inference only needs the model
+    collections anyway."""
+    from flax import serialization
+    out = state
+    for coll in ('params', 'batch_stats', 'moco_state'):
+        if coll in ckpt and getattr(state, coll) is not None:
+            restored = serialization.from_state_dict(
+                getattr(state, coll), ckpt[coll], name=coll)
+            out = out.replace(**{coll: restored})
+    return out

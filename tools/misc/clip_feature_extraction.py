@@ -32,7 +32,7 @@ def main():
     from mscl_tpu.apis.inference import extract_features
     from mscl_tpu.apis.train import build_model_from_cfg
     from mscl_tpu.core import (build_lr_schedule, build_optimizer,
-                               init_state, load_checkpoint)
+                               init_state, load_checkpoint, restore_model_state)
     from mscl_tpu.datasets import build_dataloader, build_dataset
     from mscl_tpu.parallel.mesh import create_mesh
 
@@ -56,7 +56,7 @@ def main():
     state = init_state(model, tx, batch)
     if args.checkpoint:
         ckpt = load_checkpoint(args.checkpoint)
-        state = serialization.from_state_dict(state, ckpt)
+        state = restore_model_state(state, ckpt)
 
     feats = extract_features(model, state, loader, mesh)
     labels = np.asarray([info.get('label', -1)

@@ -39,7 +39,7 @@ def main():
     from mscl_tpu.apis.train import build_model_from_cfg, \
         example_batch_from
     from mscl_tpu.core import build_lr_schedule, build_optimizer, \
-        init_state, load_checkpoint
+        init_state, load_checkpoint, restore_model_state
     from mscl_tpu.datasets import build_dataloader, build_dataset
     from mscl_tpu.parallel.mesh import create_mesh
 
@@ -58,7 +58,7 @@ def main():
                                  cfg.data['videos_per_gpu'] * num_devices)
     state = init_state(model, tx, example)
     ckpt = load_checkpoint(args.checkpoint)
-    state = serialization.from_state_dict(state, ckpt)
+    state = restore_model_state(state, ckpt)
 
     results = run_test(model, state, loader, mesh)
     metrics = dataset.evaluate(results, metrics=args.metrics)

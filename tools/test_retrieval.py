@@ -46,7 +46,7 @@ def main():
                                      build_model_from_cfg,
                                      example_batch_from)
     from mscl_tpu.core import build_lr_schedule, build_optimizer, \
-        init_state, load_checkpoint
+        init_state, load_checkpoint, restore_model_state
     from mscl_tpu.datasets import build_dataloader, build_dataset
     from mscl_tpu.models.recognizers import sync_key_variables
     from mscl_tpu.parallel.mesh import create_mesh
@@ -83,7 +83,7 @@ def main():
     state = init_state(model, tx, example, post_init_fn=post_init)
     if args.checkpoint and not args.ssl:
         ckpt = load_checkpoint(args.checkpoint)
-        state = serialization.from_state_dict(state, ckpt)
+        state = restore_model_state(state, ckpt)
 
     print('extracting train features...')
     train_feats = extract_features(model, state, train_loader, mesh)
