@@ -123,7 +123,8 @@ class FormatShape:
         self.input_format = input_format
         self.collapse = collapse
         if self.input_format not in ['NCTHW', 'NCHW', 'NCHW_Flow',
-                                     'NPTCHW', 'NTHWC']:
+                                     'NPTCHW', 'NTHWC',
+                                     'NCTHW_Heatmap']:
             raise ValueError(f'input format {input_format} is invalid')
 
     def __call__(self, results):
@@ -152,6 +153,16 @@ class FormatShape:
             imgs = np.transpose(imgs, (0, 1, 2, 5, 3, 4))
             imgs = imgs.reshape((-1, imgs.shape[2] * imgs.shape[3]) +
                                 imgs.shape[4:])
+        elif self.input_format == 'NCTHW_Heatmap':
+            # pose pseudo-heatmaps: (M*num_clips*T, H, W, K) ->
+            # (M*num_clips, K, T, H, W); the leading -1 absorbs
+            # GeneratePoseTarget(double=True)'s flipped copies
+            num_clips = results['num_clips']
+            clip_len = results['clip_len']
+            imgs = imgs.reshape((-1, num_clips, clip_len) +
+                                imgs.shape[1:])
+            imgs = np.transpose(imgs, (0, 1, 5, 2, 3, 4))
+            imgs = imgs.reshape((-1,) + imgs.shape[2:])
         elif self.input_format == 'NPTCHW':
             num_proposals = results['num_proposals']
             num_clips = results['num_clips']
