@@ -11,8 +11,8 @@ from .loading_mscl import (AlignIndex, ChosenSampleFrames, MatchFlow, Seg2T,
                            TemporalShiftSampleFrames)
 from .combined_augmentations import MoCoTransform
 from .mcl_augmentations import MCLRandomResizedCrop, motion_map_from_flow
-from .pose_loading import (GeneratePoseTarget, PoseDecode,
-                           UniformSampleFrames)
+from .pose_loading import (GeneratePoseTarget, LoadKineticsPose,
+                           PoseDecode, UniformSampleFrames)
 from .moco_augmentations import (MoCoNormalize, MoCoNormalizeV2,
                                  MoCoRandomResizedCrop, MoCoResize)
 from .transforms_motion import (Flow2ImgWithAug, NormFlowV2, NormFlowWithAug,

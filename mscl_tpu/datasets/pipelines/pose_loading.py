@@ -237,3 +237,89 @@ class GeneratePoseTarget:
                 [np.stack(self._gen(results)),
                  np.stack(self._gen(self._flip(results)))])
         return results
+
+
+@PIPELINES.register_module()
+class LoadKineticsPose:
+    """Load Kinetics-Pose pickles: per-detection (K, 3) keypoint rows
+    with their frame indices are regrouped into dense
+    (num_person, T, K, 2) + score arrays; when persons exceed
+    max_person, per-frame detections are ranked by the weighted sum of
+    face/torso/limb confidences (reference pose_loading.py:198-346)."""
+
+    _SUBSETS = {
+        'openpose': dict(face=[0, 14, 15, 16, 17],
+                         torso=[1, 2, 8, 5, 11],
+                         limb=[3, 4, 6, 7, 9, 10, 12, 13]),
+        'mmpose': dict(face=[0, 1, 2, 3, 4],
+                       torso=[5, 6, 11, 12],
+                       limb=[7, 8, 9, 10, 13, 14, 15, 16]),
+    }
+
+    def __init__(self, io_backend='disk', squeeze=True, max_person=100,
+                 keypoint_weight=dict(face=1, torso=2, limb=3),
+                 source='mmpose', **kwargs):
+        assert source in self._SUBSETS, source
+        self.squeeze = squeeze
+        self.max_person = max_person
+        self.keypoint_weight = dict(keypoint_weight)
+        self.source = source
+        self.kpsubset = self._SUBSETS[source]
+
+    def __call__(self, results):
+        import pickle
+        filename = results.pop('filename')
+        anno_inds = results.pop('anno_inds', None)
+        results.pop('box_score', None)
+        with open(filename, 'rb') as f:
+            kps = pickle.load(f)
+        kps = np.asarray(kps, np.float32)
+        total_frames = results['total_frames']
+        frame_inds = np.asarray(results.pop('frame_inds'))
+        if anno_inds is not None:
+            assert self.source == 'mmpose'
+            kps = kps[anno_inds]
+            frame_inds = frame_inds[anno_inds]
+
+        if self.squeeze:
+            uni = np.unique(frame_inds)
+            remap = {int(x): i for i, x in enumerate(uni)}
+            frame_inds = np.array([remap[int(x)] for x in frame_inds],
+                                  np.int64)
+            total_frames = int(frame_inds.max()) + 1
+        results['total_frames'] = total_frames
+
+        h, w = results['img_shape']
+        if self.source == 'openpose':
+            kps[:, :, 0] *= w
+            kps[:, :, 1] *= h
+
+        num_kp = kps.shape[1]
+        counts = np.bincount(frame_inds, minlength=total_frames)
+        num_person = int(counts.max())
+        new_kp = np.zeros((num_person, total_frames, num_kp, 2),
+                          np.float16)
+        new_score = np.zeros((num_person, total_frames, num_kp),
+                             np.float16)
+        slot = np.zeros(total_frames, np.int64)
+        for fi, kp in zip(frame_inds, kps):
+            new_kp[slot[fi], fi] = kp[:, :2]
+            new_score[slot[fi], fi] = kp[:, 2]
+            slot[fi] += 1
+
+        results['num_person'] = num_person
+        if num_person > self.max_person:
+            grp, wgt = self.kpsubset, self.keypoint_weight
+            for i in range(total_frames):
+                n = slot[i]
+                val = new_score[:n, i]
+                score = (val[:, grp['face']].sum(1) * wgt['face'] +
+                         val[:, grp['torso']].sum(1) * wgt['torso'] +
+                         val[:, grp['limb']].sum(1) * wgt['limb'])
+                order = np.argsort(-score)
+                new_score[:n, i] = new_score[order, i]
+                new_kp[:n, i] = new_kp[order, i]
+            results['num_person'] = self.max_person
+        results['keypoint'] = new_kp[:self.max_person]
+        results['keypoint_score'] = new_score[:self.max_person]
+        return results
