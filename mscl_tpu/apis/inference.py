@@ -162,9 +162,14 @@ def init_recognizer(config, checkpoint: Optional[str] = None):
 
 
 def _dummy_results(cfg):
-    """A synthetic pipeline input for shape discovery."""
+    """A synthetic pipeline input for shape discovery (covers frame-
+    and skeleton-based pipelines)."""
+    rng = np.random.default_rng(0)
     return dict(total_frames=64, start_index=0, modality='RGB',
-                label=-1, _synthetic=True)
+                label=-1, _synthetic=True, img_shape=(64, 64),
+                keypoint=rng.uniform(0, 64, (1, 64, 17, 2)).astype(
+                    np.float32),
+                keypoint_score=np.ones((1, 64, 17), np.float32))
 
 
 def _pipeline_sample(pipeline_cfg, results):
