@@ -304,6 +304,10 @@ class SSNDataset(BaseDataset):
     # --------------------------------------------------------- sampling
     def _sample_from(self, proposal_type, video_id, video_pool,
                      num_requested, dataset_pool):
+        if num_requested == 0:
+            return []
+        if len(video_pool) == 0 and len(dataset_pool) == 0:
+            return []
         if len(video_pool) == 0:
             idx = np.random.choice(len(dataset_pool), num_requested,
                                    replace=len(dataset_pool) <

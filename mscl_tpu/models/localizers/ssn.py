@@ -233,6 +233,33 @@ class SSN(nn.Module):
         losses['loss'] = sum(v for k, v in losses.items())
         return losses
 
+    def forward_test(self, imgs, proposal_scale_factor, **kwargs):
+        """Score proposals at test time. Design note: the reference's
+        STPPTest re-aggregates densely-ticked features per proposal
+        (reference ssn.py test path) as an efficiency trick for
+        overlapping proposals; here test proposals are sampled exactly
+        like training ones (SampleProposalFrames mode='val') and scored
+        through the same STPP consensus — same math, simpler data
+        plane. Returns (activity_scores, completeness_scores,
+        bbox_preds) for SSNDataset.results_to_detections."""
+        frames = imgs.reshape((-1,) + imgs.shape[-3:])
+        frames = jnp.transpose(frames, (0, 2, 3, 1))
+        feat = self.backbone_m(frames, train=False)
+        if isinstance(feat, (list, tuple)):
+            feat = feat[-1]
+        if self.spatial_type == 'avg':
+            feat = feat.mean(axis=(1, 2))
+        elif self.spatial_type == 'max':
+            feat = feat.max(axis=(1, 2))
+        return self.cls_head_m(feat, proposal_scale_factor,
+                               train=False)
+
+    def __call__(self, imgs, proposal_scale_factor, return_loss=False,
+                 **kwargs):
+        if return_loss:
+            raise NotImplementedError('use train_step')
+        return self.forward_test(imgs, proposal_scale_factor, **kwargs)
+
     def train_step(self, batch, train: bool = True):
         losses = self.forward_train(
             batch['imgs'], batch['proposal_scale_factor'],

@@ -288,3 +288,92 @@ class TestBSNProposalGeneration:
         assert np.isfinite(bsp).all()
         # action region of the best proposal carries high actionness
         assert bsp[0, 8:].mean() > 0.5
+
+
+class TestSSNTestPath:
+
+    def test_forward_test_scores_feed_evaluate(self, tmp_path_factory):
+        """Model test scores -> results_to_detections -> mAP, wiring
+        the SSN eval chain end to end on val-mode proposal sampling."""
+        import cv2
+        from mscl_tpu.datasets import SSNDataset
+        root = tmp_path_factory.mktemp('ssn_test')
+        rng = np.random.default_rng(0)
+        lines = []
+        for v in range(2):
+            vdir = root / f'video_{v}'
+            vdir.mkdir()
+            for i in range(1, 121):
+                cv2.imwrite(str(vdir / f'img_{i:05d}.jpg'),
+                            rng.integers(0, 256, (20, 20, 3),
+                                         dtype=np.uint8))
+            lines += [f'# {v}', f'video_{v}', '120', '1',
+                      '1', '2 30 60', '2',
+                      '2 0.80 0.90 28 62', '2 0.75 0.92 32 58']
+        ann = root / 'props.txt'
+        ann.write_text('\n'.join(lines) + '\n')
+        train_cfg = dict(ssn=dict(
+            assigner=dict(positive_iou_threshold=0.7,
+                          background_iou_threshold=0.01,
+                          incomplete_iou_threshold=0.3,
+                          background_coverage_threshold=0.02,
+                          incomplete_overlap_threshold=0.01),
+            sampler=dict(num_per_video=2, positive_ratio=1,
+                         background_ratio=0, incomplete_ratio=0,
+                         add_gt_as_proposals=False),
+            loss_weight=dict(comp_loss_weight=0.1,
+                             reg_loss_weight=0.1)))
+        test_cfg = dict(ssn=dict(sampler=dict(test_interval=6),
+                                 evaluater=dict(top_k=10, nms=0.2)))
+        pipeline = [
+            dict(type='SampleProposalFrames', clip_len=1,
+                 body_segments=5, aug_segments=(2, 2), aug_ratio=0.5,
+                 mode='val'),
+            dict(type='RawFrameDecode'),
+            dict(type='Resize', scale=(16, 16), keep_ratio=False),
+            dict(type='Normalize', mean=[104, 117, 128],
+                 std=[1, 1, 1], to_bgr=True),
+            dict(type='FormatShape', input_format='NPTCHW'),
+            dict(type='Collect',
+                 keys=['imgs', 'proposal_scale_factor'], meta_keys=[]),
+            dict(type='ToTensor',
+                 keys=['imgs', 'proposal_scale_factor']),
+        ]
+        ds = SSNDataset(str(ann), pipeline=pipeline,
+                        train_cfg=train_cfg, test_cfg=test_cfg,
+                        data_prefix=str(root))
+        model = RECOGNIZERS.get('SSN')(
+            backbone=dict(type='ResNet', depth=18),
+            cls_head=dict(type='SSNHead', in_channels=512,
+                          num_classes=3,
+                          consensus=dict(type='STPPTrain',
+                                         stpp_stage=(1, 1, 1),
+                                         num_seg=(2, 5, 2)),
+                          dropout_ratio=0.0, use_regression=True),
+            train_cfg=train_cfg)
+        np.random.seed(0)
+        results = []
+        variables = None
+        for idx in range(len(ds)):
+            sample = ds.prepare_train_frames(idx)  # proposal sampling
+            imgs = jnp.asarray(np.asarray(sample['imgs'])[None])
+            scale = jnp.asarray(
+                np.asarray(sample['proposal_scale_factor'])[None])
+            if variables is None:
+                variables = model.init(
+                    {'params': jax.random.PRNGKey(0),
+                     'dropout': jax.random.PRNGKey(1)}, imgs, scale)
+            act, comp, reg = model.apply(variables, imgs, scale)
+            n_props = act.shape[0]
+            rel = np.array([[p.start_frame / 120, p.end_frame / 120]
+                            for p, _ in zip(
+                                ds.video_infos[idx]['proposals'],
+                                range(n_props))], np.float32)
+            results.append(dict(
+                relative_proposal_list=rel[:n_props],
+                activity_scores=np.asarray(act)[:len(rel)],
+                completeness_scores=np.asarray(comp)[:len(rel)],
+                bbox_preds=np.asarray(reg)[:len(rel)]))
+        metrics = ds.evaluate(results)
+        assert any(k.startswith('mAP@') for k in metrics)
+        assert all(np.isfinite(v) for v in metrics.values())
