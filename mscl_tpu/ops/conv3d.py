@@ -21,6 +21,7 @@ convs (torchvision VideoResNet, reference fastonly.py conv makers).
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Tuple
 
@@ -51,10 +52,73 @@ def get_conv3d_impl() -> str:
     return _IMPL
 
 
+# Cotangent materialization barrier (measured NET-NEGATIVE, default
+# off): the round-2 step profile shows the four layer1 grad-input convs
+# at 48 TF/s vs 92 TF/s forward — XLA fuses the BN/relu-backward
+# elementwise graph into the grad-conv fusion. Barriering the cotangent
+# in the VJP de-fuses it, but the full-program A/B measured 83.1 vs
+# 77.6 ms/step: the extra HBM round-trips for materialized cotangents
+# cost more than the conv recomputation saves. Kept as an option.
+_BWD_BARRIER = os.environ.get('MSCL_CONV3D_BWD_BARRIER', '0') == '1'
+
+
+def set_conv3d_bwd_barrier(on: bool) -> None:
+    global _BWD_BARRIER
+    _BWD_BARRIER = bool(on)
+
+
+# Space-to-depth stem rewrite (thin-input-channel convs). The stem's
+# C_in=3 fills almost none of the MXU reduction dim; folding 2x2 spatial
+# phases into channels (C_in -> 4*C_in, 7x7/2 kernel -> 4x4/1) is an
+# exact rewrite (standard TPU ResNet trick) that quadruples K per tap.
+# Full-program A/B on v5e: 78.0 vs 77.6 ms/step — the stem conv speedup
+# is cancelled by the input fold transpose, so default off.
+_S2D = os.environ.get('MSCL_CONV3D_S2D', '0') == '1'
+
+
+def set_conv3d_s2d(on: bool) -> None:
+    global _S2D
+    _S2D = bool(on)
+
+
 def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
            stride: Tuple[int, int, int],
            padding: Tuple[int, int, int]) -> jnp.ndarray:
     """NTHWC 3D conv with kernel (kt, kh, kw, C, F), symmetric padding."""
+    if (_S2D and kernel.shape[1] == 7 and kernel.shape[2] == 7 and
+            kernel.shape[3] <= 8 and tuple(stride)[1:] == (2, 2) and
+            tuple(padding)[1:] == (3, 3) and x.shape[2] % 2 == 0 and
+            x.shape[3] % 2 == 0):
+        return _conv3d_s2d_stem(x, kernel, tuple(stride), tuple(padding))
+    if _BWD_BARRIER and _IMPL == 'xla3d':
+        return _conv3d_xla_barrier(x, kernel, tuple(stride),
+                                   tuple(padding))
+    return _conv3d_dispatch(x, kernel, stride, padding)
+
+
+def _conv3d_s2d_stem(x, kernel, stride, padding):
+    """Exact 2x2 space-to-depth rewrite of a (kt,7,7,C,F)/(st,2,2)/pad 3
+    stem conv: y[i] reads u = 2i + dy - 3; with dy = 2m + b - 1 this is
+    u = 2(i + m - 2) + b, i.e. a 4-tap stride-1 conv over the folded
+    input xf[p, b] = x[2p + b] with folded padding (2, 1)."""
+    n, t, h, w, c = x.shape
+    kt, _, _, _, f = kernel.shape
+    st, pt = stride[0], padding[0]
+    # fold input: (n,t,h/2,2,w/2,2,c) -> (n,t,h/2,w/2,2,2,c) -> 4c
+    xf = x.reshape(n, t, h // 2, 2, w // 2, 2, c)
+    xf = xf.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+        n, t, h // 2, w // 2, 4 * c)
+    # fold kernel: pad dy/dx 7->8 (one leading zero tap so dy+1 = 2m+b)
+    kp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    kf = kp.reshape(kt, 4, 2, 4, 2, c, f)
+    kf = kf.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * c, f)
+    if _BWD_BARRIER:
+        return _conv3d_xla_barrier(xf, kf, (st, 1, 1),
+                                   ((pt, pt), (2, 1), (2, 1)))
+    return _conv3d_xla(xf, kf, (st, 1, 1), ((pt, pt), (2, 1), (2, 1)))
+
+
+def _conv3d_dispatch(x, kernel, stride, padding):
     impl = _IMPL
     if impl == 'auto':
         impl = 'tap2d' if (kernel.shape[0] == 1 or
@@ -64,6 +128,26 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
     if impl == 'sumtap':
         return _conv3d_sumtap(x, kernel, stride, padding)
     return _conv3d_tap2d(x, kernel, stride, padding)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv3d_xla_barrier(x, kernel, stride, padding):
+    return _conv3d_xla(x, kernel, stride, padding)
+
+
+def _conv3d_barrier_fwd(x, kernel, stride, padding):
+    return _conv3d_xla(x, kernel, stride, padding), (x, kernel)
+
+
+def _conv3d_barrier_bwd(stride, padding, res, g):
+    x, kernel = res
+    g = lax.optimization_barrier(g)
+    _, vjp = jax.vjp(
+        lambda x_, k_: _conv3d_xla(x_, k_, stride, padding), x, kernel)
+    return vjp(g)
+
+
+_conv3d_xla_barrier.defvjp(_conv3d_barrier_fwd, _conv3d_barrier_bwd)
 
 
 def _conv3d_sumtap(x, kernel, stride, padding):
@@ -92,7 +176,8 @@ def _conv3d_sumtap(x, kernel, stride, padding):
 def _conv3d_xla(x, kernel, stride, padding):
     return lax.conv_general_dilated(
         x, kernel, window_strides=stride,
-        padding=[(p, p) for p in padding],
+        padding=[p if isinstance(p, tuple) else (p, p)
+                 for p in padding],
         dimension_numbers=('NTHWC'.replace('T', 'D'),
                            'DHWIO', 'NDHWC'))
 

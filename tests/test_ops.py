@@ -159,3 +159,55 @@ class TestFastBatchNorm:
             np.testing.assert_allclose(
                 np.asarray(ur['batch_stats']['var']),
                 np.asarray(uf['batch_stats']['var']), atol=1e-4)
+
+
+class TestConv3dRewrites:
+    """Exactness of the optional conv3d graph rewrites (both measured
+    net-neutral/negative in the full MSCL step on v5e — see
+    docs/benchmark.md — but kept as options; they must stay exact)."""
+
+    def _ref(self, x, w, stride, pad):
+        from mscl_tpu.ops import conv3d as c3
+        c3.set_conv3d_s2d(False)
+        c3.set_conv3d_bwd_barrier(False)
+        out = c3.conv3d(x, w, stride, pad)
+        g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
+            c3.conv3d(a, b, stride, pad))), argnums=(0, 1))(x, w)
+        return out, g
+
+    @pytest.mark.parametrize('cin,stride', [(3, (1, 2, 2)),
+                                            (6, (2, 2, 2))])
+    def test_s2d_stem_exact(self, cin, stride):
+        from mscl_tpu.ops import conv3d as c3
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16, 16, cin))
+        w = jax.random.normal(jax.random.PRNGKey(1),
+                              (3, 7, 7, cin, 8)) * 0.1
+        ref, gref = self._ref(x, w, stride, (1, 3, 3))
+        c3.set_conv3d_s2d(True)
+        try:
+            out = c3.conv3d(x, w, stride, (1, 3, 3))
+            g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
+                c3.conv3d(a, b, stride, (1, 3, 3)))),
+                argnums=(0, 1))(x, w)
+        finally:
+            c3.set_conv3d_s2d(False)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+        for a, b in zip(g, gref):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def test_bwd_barrier_exact(self):
+        from mscl_tpu.ops import conv3d as c3
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 6))
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 6, 5)) * .1
+        ref, gref = self._ref(x, w, (1, 1, 1), (1, 1, 1))
+        c3.set_conv3d_bwd_barrier(True)
+        try:
+            out = c3.conv3d(x, w, (1, 1, 1), (1, 1, 1))
+            g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
+                c3.conv3d(a, b, (1, 1, 1), (1, 1, 1)))),
+                argnums=(0, 1))(x, w)
+        finally:
+            c3.set_conv3d_bwd_barrier(False)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+        for a, b in zip(g, gref):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
