@@ -108,7 +108,9 @@ def train_model(cfg, validate: bool = True, resume_from: Optional[str] = None,
         num_gpus=num_devices,
         shuffle=True, seed=seed,
         drop_last=cfg.data.get('train_dataloader', {}).get(
-            'drop_last', True))
+            'drop_last', True),
+        workers_mode=cfg.data.get('workers_mode', 'thread'),
+        sampler=cfg.data.get('sampler'))
 
     val_loader = val_dataset = None
     if validate and 'val' in cfg.data:

@@ -56,4 +56,5 @@ def build_dataloader(dataset,
         num_workers=workers_per_gpu,
         prefetch=prefetch,
         sampler=kwargs.get('sampler'),
+        workers_mode=kwargs.get('workers_mode', 'thread'),
     )

@@ -9,7 +9,9 @@ decode with device compute.
 """
 from __future__ import annotations
 
+import multiprocessing
 import queue
+import random
 import threading
 from typing import Any, Dict, List, Optional
 
@@ -47,6 +49,57 @@ def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+def _pool_worker_main(dataset, task_q, result_q, seed, worker_id):
+    """Decode-worker loop (forked process). Reseeds numpy/python RNGs per
+    worker like the reference's worker_init_fn (datasets/builder.py
+    worker seeding) so stochastic transforms decorrelate across workers.
+    Workers run only numpy/cv2 pipeline code — never JAX."""
+    np.random.seed((seed + worker_id) % (2 ** 32))
+    random.seed(seed + worker_id)
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        bid, inds = task
+        try:
+            result_q.put((bid, [dataset[int(i)] for i in inds]))
+        except BaseException as e:  # surface to the consumer
+            result_q.put((bid, RuntimeError(
+                f'decode worker {worker_id} failed on batch {bid}: '
+                f'{type(e).__name__}: {e}')))
+
+
+class _ProcessPool:
+    """Forked decode-worker pool — the torch-DataLoader-equivalent
+    multi-process host input pipeline. cv2/np decode scales across cores
+    without the GIL; fork inherits the dataset without pickling it."""
+
+    def __init__(self, dataset, num_workers: int, seed: int):
+        ctx = multiprocessing.get_context('fork')
+        self.task_q = ctx.Queue()
+        self.result_q = ctx.Queue()
+        self.workers = []
+        for wid in range(num_workers):
+            p = ctx.Process(target=_pool_worker_main,
+                            args=(dataset, self.task_q, self.result_q,
+                                  seed, wid),
+                            daemon=True)
+            p.start()
+            self.workers.append(p)
+
+    def shutdown(self):
+        for _ in self.workers:
+            try:
+                self.task_q.put(None)
+            except Exception:
+                pass
+        for p in self.workers:
+            p.join(timeout=2.0)
+            if p.is_alive():
+                p.terminate()
+        self.workers = []
+
+
 class _EpochIterator:
 
     def __init__(self, loader: 'NumpyLoader', order: np.ndarray):
@@ -60,12 +113,51 @@ class _EpochIterator:
             self.num_batches = (n + self.batch_size - 1) // self.batch_size
         self._q: 'queue.Queue' = queue.Queue(maxsize=loader.prefetch)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._producer, daemon=True)
+        target = (self._producer_pool
+                  if loader.workers_mode == 'process' and
+                  loader.num_workers > 0 else self._producer)
+        self._thread = threading.Thread(target=target, daemon=True)
         self._thread.start()
         self._served = 0
 
     def _load_one(self, idx):
         return self.loader.dataset[int(idx)]
+
+    def _producer_pool(self):
+        """Dispatch batches to the process pool; emit results in order."""
+        pool = self.loader._get_pool()
+        max_out = len(pool.workers) + self.loader.prefetch
+        pending: Dict[int, Any] = {}
+        next_submit = next_emit = 0
+        try:
+            while next_emit < self.num_batches:
+                while (next_submit < self.num_batches and
+                       next_submit - next_emit < max_out):
+                    inds = self.order[next_submit * self.batch_size:
+                                      (next_submit + 1) * self.batch_size]
+                    pool.task_q.put((next_submit, list(map(int, inds))))
+                    next_submit += 1
+                while next_emit not in pending:
+                    if self._stop.is_set():
+                        return
+                    try:
+                        bid, payload = pool.result_q.get(timeout=0.5)
+                    except queue.Empty:
+                        continue
+                    pending[bid] = payload
+                payload = pending.pop(next_emit)
+                if isinstance(payload, BaseException):
+                    raise payload
+                batch = self.loader.collate_fn(payload)
+                next_emit += 1
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:
+            self._q.put(e)
 
     def _producer(self):
         try:
@@ -127,7 +219,9 @@ class NumpyLoader:
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=None,
                  drop_last=False, num_workers=0, prefetch=2,
-                 collate_fn=default_collate, sampler=None):
+                 collate_fn=default_collate, sampler=None,
+                 workers_mode='thread'):
+        assert workers_mode in ('thread', 'process'), workers_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -137,7 +231,20 @@ class NumpyLoader:
         self.prefetch = max(1, prefetch)
         self.collate_fn = collate_fn
         self.sampler = dict(sampler) if sampler else None
+        self.workers_mode = workers_mode
+        self._pool: Optional[_ProcessPool] = None
         self.epoch = 0
+
+    def _get_pool(self) -> _ProcessPool:
+        if self._pool is None or not self._pool.workers:
+            self._pool = _ProcessPool(self.dataset, self.num_workers,
+                                      self.seed)
+        return self._pool
+
+    def shutdown(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch

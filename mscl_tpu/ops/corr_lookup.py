@@ -20,23 +20,28 @@ The FLOPs match the all-pairs volume (each tile re-correlates against
 all of f2) but peak memory per step is one (TILE, H*W) slab; this is
 the alt_cuda_corr trade (recompute over materialize).
 
-A lax.scan implementation with identical numerics (corr_lookup_scan)
-is the production memory-efficient path. Measured on v5e at RAFT's
-440x1024 resolution (55x128x256, r=4, L=4; bench_corr_lookup.py):
+Three implementations, measured on v5e at RAFT's 440x1024 resolution
+(55x128x256, r=4, L=4; bench_corr_lookup.py):
 
     volume (reference default)   478 ms/lookup   temp 466.1 MB
     scan                         246 ms/lookup   temp   0.8 MB
+    pallas_v2 (production)      4.77 ms/lookup   temp 230.8 MB*
 
-i.e. the memory-efficient tiling is ~1.9x FASTER and ~580x smaller
-than materializing the pyramid.
+corr_lookup_pallas_v2 is the production TPU path (RAFT corr_impl
+'auto'): a fully vectorized kernel whose bilinear window gather is two
+batched MXU matmuls against *soft one-hot* selector matrices — 52x
+faster than the scan tiling and 100x faster than materializing the
+pyramid. (*the temp is the (L, k, k)-slotted output layout Mosaic
+needs for aligned stores; it is transient and its bandwidth cost is
+~0.6 ms of the 4.77.)
 
-Pallas kernel status: compiles and matches the oracle on the real
-chip at small shapes (4e-3, MXU-truncation level); at full RAFT scale
-the current Mosaic release rejects the final unaligned (k,)-wide
-output stores (after working around: value dynamic_slice, lane-dim
-reshapes, unaligned dynamic sublane/lane offsets — see git history).
-corr_lookup_scan is the default; the kernel remains the template to
-re-enable when Mosaic lifts the store constraint.
+corr_lookup_scan keeps identical-to-oracle numerics for CPU/tests.
+The original per-pixel kernel (corr_lookup_pallas) is kept as the
+journal of the Mosaic constraints that shaped v2: value dynamic_slice,
+lane-dim reshapes, (tile,k,k)->(tile,k*k) collapses, sub-128 lane
+concats and unaligned stores all fail to lower; per-(level,dy)
+origin-aligned stores, iota-comparison selectors and batched
+dot_general lower cleanly.
 """
 from __future__ import annotations
 
@@ -257,6 +262,143 @@ def corr_lookup_pallas(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
         interpret=interpret,
     )(f1, *f2_levels, cds)
     return out[:, :hw].reshape(n, h, w, k2)
+
+
+def _corr_kernel_v2(f1_ref, *rest, h, w, num_levels, radius):
+    """Vectorized Pallas body (no per-pixel loop, no unaligned stores).
+
+    The bilinear (2r+1)^2 window around per-pixel centers is two batched
+    matmuls with *soft one-hot* selector matrices: for pixel p at level l
+    with start (sy, sx) and fractions (fy, fx),
+
+        Wy[p, dy, y] = (1-fy)[y == sy+dy] + fy[y == sy+dy+1]
+        Wx[p, dx, x] = (1-fx)[x == sx+dx] + fx[x == sx+dx+1]
+        win[p]       = Wy[p] @ slab[p] @ Wx[p]^T
+
+    which is exactly grid_sample(zeros padding, align_corners=True):
+    out-of-range rows/cols simply match nothing and contribute 0. The
+    selectors come from iota comparisons (VPU), the windows from
+    dot_general with a batch dim (MXU), and each level's (tile, k*k)
+    result is stored at a static, lane-aligned offset.
+    """
+    f2_refs = rest[:num_levels]          # (1, hl, wl, C) each
+    coords_ref = rest[num_levels]        # (1, TILE, 2) in VMEM
+    out_ref = rest[num_levels + 1]       # (1, TILE, L, K, K)
+    scratch = rest[num_levels + 2:]      # (TILE, hl, wl) per level
+    f1 = f1_ref[0]                       # (TILE, C)
+    tile, c = f1.shape
+    r = radius
+    k = 2 * r + 1
+    inv_sqrt_c = 1.0 / jnp.sqrt(jnp.float32(c))
+    cx0 = coords_ref[0, :, 0]            # (TILE,)
+    cy0 = coords_ref[0, :, 1]
+
+    for i, (hl, wl) in enumerate(_level_dims(h, w, num_levels)):
+        # slab rows y: one MXU matmul each, written to the 3D scratch
+        # (Mosaic cannot reshape a (tile, hl*wl) matmul result to 3D
+        # when wl is not lane-aligned)
+        for y in range(hl):
+            row = f2_refs[i][0, y]       # (wl, C)
+            scratch[i][:, y, :] = jax.lax.dot_general(
+                f1, row, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * inv_sqrt_c
+        slab3 = scratch[i][:, :, :]      # (tile, hl, wl)
+        scale = jnp.float32(2 ** i)
+        cx = cx0 / scale
+        cy = cy0 / scale
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0).astype(jnp.float32)[:, None, None]
+        fy = (cy - y0).astype(jnp.float32)[:, None, None]
+        sx = x0.astype(jnp.int32)[:, None, None] - r
+        sy = y0.astype(jnp.int32)[:, None, None] - r
+        iy = jax.lax.broadcasted_iota(jnp.int32, (tile, k, hl), 2)
+        jy = jax.lax.broadcasted_iota(jnp.int32, (tile, k, hl), 1)
+        wy = ((iy == sy + jy) * (1 - fy) +
+              (iy == sy + jy + 1) * fy).astype(jnp.float32)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (tile, k, wl), 2)
+        jx = jax.lax.broadcasted_iota(jnp.int32, (tile, k, wl), 1)
+        wx = ((ix == sx + jx) * (1 - fx) +
+              (ix == sx + jx + 1) * fx).astype(jnp.float32)
+        z = jax.lax.dot_general(            # (tile, k, wl)
+            wy, slab3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        win = jax.lax.dot_general(          # (tile, k, k)
+            z, wx, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # Mosaic supports neither (tile,k,k)->(tile,k*k) reshapes nor
+        # unaligned lane concats; store each window row at its own
+        # (level, dy) slot instead — every store is origin-aligned
+        for dy in range(k):
+            out_ref[0, :, i, dy, :] = win[:, dy, :]
+
+
+def corr_lookup_pallas_v2(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                          coords: jnp.ndarray, num_levels: int = 4,
+                          radius: int = 4, tile: int = 128,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Full-scale-capable Pallas correlation lookup (see _corr_kernel_v2).
+    Same numerics as build_corr_pyramid + lookup_corr / corr_lookup_scan;
+    returns (N, H, W, num_levels*(2r+1)^2)."""
+    n, h, w, c = fmap1.shape
+    hw = h * w
+    n_tiles = -(-hw // tile)
+    hw_pad = n_tiles * tile
+    f1 = fmap1.reshape(n, hw, c).astype(jnp.float32)
+    cds = coords.reshape(n, hw, 2).astype(jnp.float32)
+    if hw_pad != hw:
+        f1 = jnp.pad(f1, ((0, 0), (0, hw_pad - hw), (0, 0)))
+        cds = jnp.pad(cds, ((0, 0), (0, hw_pad - hw), (0, 0)))
+    k = 2 * radius + 1
+
+    f2_levels = []
+    for i, (hl, wl) in enumerate(_level_dims(h, w, num_levels)):
+        if i == 0:
+            f2l = fmap2.astype(jnp.float32)
+        else:
+            prev = f2_levels[-1]
+            f2l = prev[:, :hl * 2, :wl * 2].reshape(
+                n, hl, 2, wl, 2, c).mean(axis=(2, 4))
+        f2_levels.append(f2l)
+
+    kernel = functools.partial(_corr_kernel_v2, h=h, w=w,
+                               num_levels=num_levels, radius=radius)
+    f2_specs = [
+        pl.BlockSpec((1, hl, wl, c), lambda b, t: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for hl, wl in _level_dims(h, w, num_levels)
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            *f2_specs,
+            pl.BlockSpec((1, tile, 2), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, num_levels, k, k),
+                               lambda b, t: (b, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hw_pad, num_levels, k, k),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, hl, wl), jnp.float32)
+            for hl, wl in _level_dims(h, w, num_levels)
+        ],
+        # the resident f2 pyramid (f32, C=256 at RAFT scale) plus the
+        # slab scratch exceed the 16 MB default scoped-vmem budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * n * hw_pad * hw * c * 1.34),
+            transcendentals=0,
+            bytes_accessed=4 * n * (hw_pad * c + hw * c +
+                                    hw_pad * num_levels * k * k)),
+        interpret=interpret,
+    )(f1, *f2_levels, cds)
+    return out[:, :hw].reshape(n, h, w, num_levels * k * k)
 
 
 def corr_lookup_scan(fmap1: jnp.ndarray, fmap2: jnp.ndarray,

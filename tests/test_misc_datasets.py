@@ -129,3 +129,52 @@ class TestTRNHead:
             o2 = h.apply(v, x, train=False)
             np.testing.assert_array_equal(np.asarray(o1),
                                           np.asarray(o2))
+
+
+class TestProcessPoolLoader:
+    """Multi-process host decode (workers_mode='process'): forked
+    decode workers, ordered batch emission, clean shutdown, and error
+    propagation. Equivalent of torch DataLoader num_workers>0
+    (reference datasets/builder.py workers_per_gpu + worker seeding)."""
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            if i == 99:
+                raise ValueError('boom')
+            return dict(imgs=np.full((2, 2), i, np.float32), label=i)
+
+    def test_batches_in_order_and_complete(self):
+        loader = NumpyLoader(self.DS(), batch_size=3, shuffle=False,
+                             num_workers=2, workers_mode='process',
+                             drop_last=False)
+        try:
+            batches = list(iter(loader))
+            assert len(batches) == 4
+            seen = np.concatenate([b['label'] for b in batches])
+            np.testing.assert_array_equal(seen, np.arange(10))
+            np.testing.assert_array_equal(
+                batches[1]['imgs'][:, 0, 0], [3, 4, 5])
+            # second epoch reuses the pool
+            loader.set_epoch(1)
+            assert len(list(iter(loader))) == 4
+        finally:
+            loader.shutdown()
+        assert loader._pool is None
+
+    def test_worker_error_propagates(self):
+        class Bad(self.DS):
+            def __getitem__(self, i):
+                if i == 4:
+                    raise ValueError('boom')
+                return super().__getitem__(i)
+
+        loader = NumpyLoader(Bad(), batch_size=5, shuffle=False,
+                             num_workers=2, workers_mode='process')
+        try:
+            with pytest.raises(RuntimeError, match='boom'):
+                list(iter(loader))
+        finally:
+            loader.shutdown()

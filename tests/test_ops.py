@@ -96,6 +96,29 @@ class TestCorrLookup:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
 
+
+    def test_pallas_v2_interpret_matches_volume(self):
+        from mscl_tpu.flow.raft import build_corr_pyramid, lookup_corr
+        from mscl_tpu.ops.corr_lookup import corr_lookup_pallas_v2
+        f1, f2, coords = self._inputs()
+        ref = lookup_corr(build_corr_pyramid(f1, f2, 3), coords,
+                          radius=2)
+        out = corr_lookup_pallas_v2(f1, f2, coords, num_levels=3,
+                                    radius=2, tile=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_pallas_v2_out_of_bounds_and_padding(self):
+        from mscl_tpu.flow.raft import build_corr_pyramid, lookup_corr
+        from mscl_tpu.ops.corr_lookup import corr_lookup_pallas_v2
+        f1, f2, coords = self._inputs(h=10, w=14, flow_scale=12.0)
+        ref = lookup_corr(build_corr_pyramid(f1, f2, 2), coords,
+                          radius=3)
+        out = corr_lookup_pallas_v2(f1, f2, coords, num_levels=2,
+                                    radius=3, tile=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
     def test_far_out_of_bounds_is_zero(self):
         from mscl_tpu.ops.corr_lookup import corr_lookup_scan
         f1, f2, coords = self._inputs()

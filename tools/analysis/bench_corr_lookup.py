@@ -32,6 +32,7 @@ def main():
     import jax.numpy as jnp
     from mscl_tpu.flow.raft import build_corr_pyramid, lookup_corr
     from mscl_tpu.ops.corr_lookup import (corr_lookup_pallas,
+                                          corr_lookup_pallas_v2,
                                           corr_lookup_scan)
 
     rng = np.random.default_rng(0)
@@ -51,6 +52,8 @@ def main():
         'volume': vol,
         'pallas': lambda a, b, cd: corr_lookup_pallas(
             a, b, cd, args.levels, args.radius, args.tile),
+        'pallas_v2': lambda a, b, cd: corr_lookup_pallas_v2(
+            a, b, cd, args.levels, args.radius, max(args.tile, 128)),
         'scan': lambda a, b, cd: corr_lookup_scan(
             a, b, cd, args.levels, args.radius, args.tile),
     }
