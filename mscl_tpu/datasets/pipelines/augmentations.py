@@ -9,9 +9,11 @@ Parity targets (behavioral, fresh numpy/cv2 implementations):
   - CenterCrop / ThreeCrop / TenCrop  augmentations.py:1621-1900
   - ColorJitter                       augmentations.py:1524-1618
 
-Lazy ops are intentionally unsupported: the TPU framework fuses heavy
-elementwise work on-device instead (models/common/ssl_aug.py), so the
-CPU-side lazy-compose machinery has no benefit here.
+Lazy ops (reference augmentations.py:24-55, 511-549) are supported for
+config parity: crops/Resize/Flip with ``lazy=True`` only record their
+geometry and ``Fuse`` applies one combined crop+resize+flip. On TPU the
+heavy elementwise work is fused on-device anyway (ssl_aug.py), so lazy
+mode matters mainly for reference-config compatibility.
 
 Note: the reference's crop_quadruple update has an upstream mmaction2 bug
 (last element ``h_ratio * old_x_ratio``); we implement the corrected
@@ -56,11 +58,39 @@ def rescale_size(old_size_wh, scale):
     return int(w * scale_factor + 0.5), int(h * scale_factor + 0.5)
 
 
-def _assert_not_lazy(lazy):
+def _init_lazy_if_proper(results, lazy):
+    """Reference augmentations.py:24-55: initialize the ``lazy`` record
+    (original_shape, cumulative crop_bbox in original coords, flip state,
+    interpolation) or assert no stale one leaks into a non-lazy op."""
+    if 'img_shape' not in results:
+        results['img_shape'] = results['imgs'][0].shape[:2]
     if lazy:
-        raise NotImplementedError(
-            'lazy pipeline ops are not supported in mscl_tpu; heavy '
-            'elementwise augmentation is fused on-device instead')
+        if 'lazy' not in results:
+            img_h, img_w = results['img_shape']
+            results['lazy'] = dict(
+                original_shape=results['img_shape'],
+                crop_bbox=np.array([0, 0, img_w, img_h],
+                                   dtype=np.float32),
+                flip=False, flip_direction=None, interpolation=None)
+    else:
+        assert 'lazy' not in results, 'Use Fuse after lazy operations'
+
+
+def _lazy_crop(results, crop_bbox, img_w, img_h):
+    """Compose a crop (in current virtual coords) into the lazy record
+    (reference RandomCrop lazy branch, augmentations.py:739-755)."""
+    lazyop = results['lazy']
+    if lazyop['flip']:
+        raise NotImplementedError('Put Flip at last for now')
+    x1, y1, x2, y2 = crop_bbox
+    lazy_left, lazy_top, lazy_right, lazy_bottom = lazyop['crop_bbox']
+    left = x1 * (lazy_right - lazy_left) / img_w
+    right = x2 * (lazy_right - lazy_left) / img_w
+    top = y1 * (lazy_bottom - lazy_top) / img_h
+    bottom = y2 * (lazy_bottom - lazy_top) / img_h
+    lazyop['crop_bbox'] = np.array(
+        [lazy_left + left, lazy_top + top,
+         lazy_left + right, lazy_top + bottom], dtype=np.float32)
 
 
 def _update_crop_quadruple(results, x_offset, y_offset, new_w, new_h,
@@ -112,12 +142,16 @@ def _box_flip(box, img_width):
     return box_
 
 
-def _finish_crop(results, crop_bbox, new_h, new_w):
+def _finish_crop(results, crop_bbox, new_h, new_w, lazy=False):
     results['crop_bbox'] = crop_bbox
+    img_h, img_w = results['img_shape']
     results['img_shape'] = (new_h, new_w)
-    if 'imgs' in results:
+    if lazy:
+        _lazy_crop(results, crop_bbox, img_w, img_h)
+    elif 'imgs' in results:
         results['imgs'] = _crop_imgs(results['imgs'], crop_bbox)
     if 'gt_bboxes' in results:
+        assert not lazy
         results = _all_box_crop(results, crop_bbox)
     return results
 
@@ -127,13 +161,13 @@ class RandomCrop:
     """Vanilla square random crop (augmentations.py:623-766)."""
 
     def __init__(self, size, lazy=False):
-        _assert_not_lazy(lazy)
         if not isinstance(size, int):
             raise TypeError(f'Size must be an int, got {type(size)}')
         self.size = size
         self.lazy = lazy
 
     def __call__(self, results):
+        _init_lazy_if_proper(results, self.lazy)
         img_h, img_w = results['img_shape']
         assert self.size <= img_h and self.size <= img_w
         y_offset = int(np.random.randint(0, img_h - self.size)) \
@@ -144,7 +178,8 @@ class RandomCrop:
                                self.size, self.size, img_w, img_h)
         crop_bbox = np.array([x_offset, y_offset,
                               x_offset + self.size, y_offset + self.size])
-        return _finish_crop(results, crop_bbox, self.size, self.size)
+        return _finish_crop(results, crop_bbox, self.size, self.size,
+                            self.lazy)
 
     def __repr__(self):
         return f'{self.__class__.__name__}(size={self.size})'
@@ -185,19 +220,19 @@ class RandomResizedCrop(RandomCrop):
 
     def __init__(self, area_range=(0.08, 1.0),
                  aspect_ratio_range=(3 / 4, 4 / 3), lazy=False):
-        _assert_not_lazy(lazy)
         self.area_range = tuple(area_range)
         self.aspect_ratio_range = tuple(aspect_ratio_range)
         self.lazy = lazy
 
     def __call__(self, results):
+        _init_lazy_if_proper(results, self.lazy)
         img_h, img_w = results['img_shape']
         left, top, right, bottom = get_random_resized_crop_bbox(
             (img_h, img_w), self.area_range, self.aspect_ratio_range)
         new_h, new_w = bottom - top, right - left
         _update_crop_quadruple(results, left, top, new_w, new_h, img_w, img_h)
         crop_bbox = np.array([left, top, right, bottom])
-        return _finish_crop(results, crop_bbox, new_h, new_w)
+        return _finish_crop(results, crop_bbox, new_h, new_w, self.lazy)
 
     def __repr__(self):
         return (f'{self.__class__.__name__}(area_range={self.area_range}, '
@@ -210,7 +245,6 @@ class MultiScaleCrop(RandomCrop):
 
     def __init__(self, input_size, scales=(1,), max_wh_scale_gap=1,
                  random_crop=False, num_fixed_crops=5, lazy=False):
-        _assert_not_lazy(lazy)
         if isinstance(input_size, int):
             input_size = (input_size, input_size)
         self.input_size = tuple(input_size)
@@ -225,6 +259,7 @@ class MultiScaleCrop(RandomCrop):
         self.lazy = lazy
 
     def __call__(self, results):
+        _init_lazy_if_proper(results, self.lazy)
         img_h, img_w = results['img_shape']
         base_size = min(img_h, img_w)
         crop_sizes = [int(base_size * s) for s in self.scales]
@@ -261,7 +296,7 @@ class MultiScaleCrop(RandomCrop):
         crop_bbox = np.array([x_offset, y_offset,
                               x_offset + crop_w, y_offset + crop_h])
         results['scales'] = self.scales
-        return _finish_crop(results, crop_bbox, crop_h, crop_w)
+        return _finish_crop(results, crop_bbox, crop_h, crop_w, self.lazy)
 
     def __repr__(self):
         return (f'{self.__class__.__name__}(input_size={self.input_size}, '
@@ -275,7 +310,6 @@ class Resize:
 
     def __init__(self, scale, keep_ratio=True, interpolation='bilinear',
                  lazy=False):
-        _assert_not_lazy(lazy)
         if isinstance(scale, float):
             if scale <= 0:
                 raise ValueError(f'Invalid scale {scale}')
@@ -293,6 +327,7 @@ class Resize:
         self.lazy = lazy
 
     def __call__(self, results):
+        _init_lazy_if_proper(results, self.lazy)
         if 'scale_factor' not in results:
             results['scale_factor'] = np.array([1, 1], dtype=np.float32)
         img_h, img_w = results['img_shape']
@@ -305,12 +340,18 @@ class Resize:
         results['img_shape'] = (new_h, new_w)
         results['keep_ratio'] = self.keep_ratio
         results['scale_factor'] = results['scale_factor'] * scale_factor
-        if 'imgs' in results:
+        if self.lazy:
+            lazyop = results['lazy']
+            if lazyop['flip']:
+                raise NotImplementedError('Put Flip at last for now')
+            lazyop['interpolation'] = self.interpolation
+        elif 'imgs' in results:
             results['imgs'] = [
                 imresize(img, (new_w, new_h), self.interpolation)
                 for img in results['imgs']
             ]
         if 'gt_bboxes' in results:
+            assert not self.lazy
             results['gt_bboxes'] = _box_resize(results['gt_bboxes'],
                                                scale_factor)
             if 'proposals' in results and results['proposals'] is not None:
@@ -359,12 +400,12 @@ class Flip:
 
     def __init__(self, flip_ratio=0.5, direction='horizontal',
                  flip_label_map=None, lazy=False):
-        _assert_not_lazy(lazy)
         if direction not in self._directions:
             raise ValueError(f'Direction {direction} not supported')
         self.flip_ratio = flip_ratio
         self.direction = direction
         self.flip_label_map = flip_label_map
+        self.lazy = lazy
 
     def _flip_imgs(self, imgs, modality):
         axis = 1 if self.direction == 'horizontal' else 0
@@ -375,6 +416,7 @@ class Flip:
         return imgs
 
     def __call__(self, results):
+        _init_lazy_if_proper(results, self.lazy)
         modality = results.get('modality', 'RGB')
         if modality == 'Flow':
             assert self.direction == 'horizontal'
@@ -384,10 +426,18 @@ class Flip:
         if self.flip_label_map is not None and flip:
             results['label'] = self.flip_label_map.get(
                 results['label'], results['label'])
+        if self.lazy:
+            lazyop = results['lazy']
+            if lazyop['flip']:
+                raise NotImplementedError('Use one Flip please')
+            lazyop['flip'] = flip
+            lazyop['flip_direction'] = self.direction
+            return results
         if flip:
             if 'imgs' in results:
                 results['imgs'] = self._flip_imgs(results['imgs'], modality)
             if 'gt_bboxes' in results:
+                assert not self.lazy
                 width = results['img_shape'][1]
                 results['gt_bboxes'] = _box_flip(results['gt_bboxes'], width)
                 if 'proposals' in results and results['proposals'] is not None:
@@ -457,13 +507,13 @@ class CenterCrop(RandomCrop):
     """Center crop (augmentations.py:1621-1718)."""
 
     def __init__(self, crop_size, lazy=False):
-        _assert_not_lazy(lazy)
         if isinstance(crop_size, int):
             crop_size = (crop_size, crop_size)
         self.crop_size = tuple(crop_size)
         self.lazy = lazy
 
     def __call__(self, results):
+        _init_lazy_if_proper(results, self.lazy)
         img_h, img_w = results['img_shape']
         crop_w, crop_h = self.crop_size
         left = (img_w - crop_w) // 2
@@ -472,10 +522,41 @@ class CenterCrop(RandomCrop):
         new_h, new_w = bottom - top, right - left
         _update_crop_quadruple(results, left, top, new_w, new_h, img_w, img_h)
         crop_bbox = np.array([left, top, right, bottom])
-        return _finish_crop(results, crop_bbox, new_h, new_w)
+        return _finish_crop(results, crop_bbox, new_h, new_w, self.lazy)
 
     def __repr__(self):
         return f'{self.__class__.__name__}(crop_size={self.crop_size})'
+
+
+@PIPELINES.register_module()
+class Fuse:
+    """Apply the accumulated lazy crop + resize + flip in one pass
+    (reference augmentations.py:511-549): crop the ORIGINAL frames by the
+    composed crop_bbox, resize to the final virtual img_shape, then flip.
+    Note: like the reference, the fused flip does not re-invert x-flow
+    frames — lazy mode is for RGB pipelines."""
+
+    def __call__(self, results):
+        if 'lazy' not in results:
+            raise ValueError('No lazy operation detected')
+        lazyop = results['lazy']
+        imgs = results['imgs']
+        left, top, right, bottom = \
+            np.round(lazyop['crop_bbox']).astype(int)
+        imgs = [img[top:bottom, left:right] for img in imgs]
+        img_h, img_w = results['img_shape']
+        interpolation = lazyop['interpolation'] or 'bilinear'
+        imgs = [imresize(img, (img_w, img_h), interpolation)
+                for img in imgs]
+        if lazyop['flip']:
+            axis = 1 if lazyop['flip_direction'] == 'horizontal' else 0
+            imgs = [np.flip(img, axis=axis).copy() for img in imgs]
+        results['imgs'] = imgs
+        del results['lazy']
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}()'
 
 
 @PIPELINES.register_module()

@@ -308,3 +308,58 @@ class TestRegistryCompleteness:
         for t in ['SampleFrames', 'Resize', 'RandomResizedCrop',
                   'Normalize', 'Seg2T', 'CenterCrop']:
             assert t in PIPELINES, f'{t} missing from PIPELINES'
+
+
+class TestLazyOps:
+    """Lazy crop/resize/flip accumulation + Fuse (reference
+    augmentations.py:24-55, 511-549): geometry-only recording, one
+    fused crop+resize+flip application."""
+
+    def _imgs(self, h=64, w=80, n=3):
+        rng = np.random.default_rng(0)
+        return [rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+                for _ in range(n)]
+
+    def test_lazy_matches_eager(self):
+        from mscl_tpu.datasets.pipelines.augmentations import (
+            CenterCrop, Flip, Fuse, Resize)
+        imgs = self._imgs()
+
+        def run(lazy):
+            r = dict(imgs=[i.copy() for i in imgs], img_shape=(64, 80))
+            r = CenterCrop(32, lazy=lazy)(r)
+            r = Resize((48, 48), keep_ratio=False, lazy=lazy)(r)
+            r = Flip(flip_ratio=1.0, lazy=lazy)(r)
+            return Fuse()(r) if lazy else r
+
+        eager, lazy = run(False), run(True)
+        assert lazy['img_shape'] == eager['img_shape'] == (48, 48)
+        assert 'lazy' not in lazy
+        for a, b in zip(eager['imgs'], lazy['imgs']):
+            # one fused interpolation vs two chained ones
+            assert np.mean(np.abs(a.astype(float) - b.astype(float))) < 2
+
+    def test_lazy_crop_composes(self):
+        from mscl_tpu.datasets.pipelines.augmentations import (
+            CenterCrop, Fuse)
+        imgs = self._imgs()
+        r = dict(imgs=[i.copy() for i in imgs], img_shape=(64, 80))
+        r = CenterCrop(48, lazy=True)(r)
+        r = CenterCrop(24, lazy=True)(r)
+        np.testing.assert_allclose(r['lazy']['crop_bbox'],
+                                   [28, 20, 52, 44])
+        r = Fuse()(r)
+        ref = imgs[0][20:44, 28:52]
+        np.testing.assert_array_equal(r['imgs'][0], ref)
+
+    def test_non_lazy_after_lazy_raises(self):
+        from mscl_tpu.datasets.pipelines.augmentations import CenterCrop
+        r = dict(imgs=self._imgs(), img_shape=(64, 80))
+        r = CenterCrop(48, lazy=True)(r)
+        with pytest.raises(AssertionError, match='Fuse'):
+            CenterCrop(24, lazy=False)(r)
+
+    def test_fuse_without_lazy_raises(self):
+        from mscl_tpu.datasets.pipelines.augmentations import Fuse
+        with pytest.raises(ValueError):
+            Fuse()(dict(imgs=self._imgs()))
