@@ -1,0 +1,3 @@
+#!/usr/bin/env bash
+set -e
+python tools/data/build_rawframes.py ${1:-data/sthv2/videos} ${2:-data/sthv2/rawframes} --level 1 --ext mp4
