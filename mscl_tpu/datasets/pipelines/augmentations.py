@@ -684,3 +684,144 @@ class ColorJitter:
         return (f'{self.__class__.__name__}(brightness={self.brightness}, '
                 f'contrast={self.contrast}, saturation={self.saturation}, '
                 f'hue={self.hue})')
+
+
+@PIPELINES.register_module()
+class MultiGroupCrop:
+    """``groups`` independent random crops concatenated along the frame
+    list (reference augmentations.py MultiGroupCrop)."""
+
+    def __init__(self, crop_size, groups):
+        if isinstance(crop_size, int):
+            crop_size = (crop_size, crop_size)
+        self.crop_size = tuple(crop_size)
+        if not isinstance(groups, int) or groups <= 0:
+            raise ValueError(f'groups must be a positive int: {groups}')
+        self.groups = groups
+
+    def __call__(self, results):
+        imgs = results['imgs']
+        img_h, img_w = imgs[0].shape[:2]
+        crop_w, crop_h = self.crop_size
+        img_crops, crop_bboxes = [], []
+        for _ in range(self.groups):
+            x_offset = _pyrandom.randint(0, img_w - crop_w)
+            y_offset = _pyrandom.randint(0, img_h - crop_h)
+            bbox = [x_offset, y_offset, x_offset + crop_w,
+                    y_offset + crop_h]
+            img_crops.extend(
+                img[y_offset:y_offset + crop_h,
+                    x_offset:x_offset + crop_w] for img in imgs)
+            crop_bboxes.extend([bbox] * len(imgs))
+        results['imgs'] = img_crops
+        results['crop_bbox'] = np.array(crop_bboxes)
+        results['img_shape'] = (crop_h, crop_w)
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(crop_size={self.crop_size}, '
+                f'groups={self.groups})')
+
+
+@PIPELINES.register_module()
+class RandomScale:
+    """Deprecated-in-reference random-scale resize kept for config
+    parity (reference augmentations.py RandomScale)."""
+
+    def __init__(self, scales, mode='range', **kwargs):
+        if mode not in ('range', 'value'):
+            raise ValueError(f"mode must be 'range' or 'value': {mode}")
+        self.scales = scales
+        self.mode = mode
+        self.kwargs = kwargs
+
+    def select_scale(self, scales):
+        num_scales = len(scales)
+        if num_scales == 1:
+            return scales[0]
+        if num_scales == 2:
+            if self.mode == 'value':
+                return scales[int(np.random.randint(2))]
+            scale_long = [max(s) for s in scales]
+            scale_short = [min(s) for s in scales]
+            long_edge = np.random.randint(min(scale_long),
+                                          max(scale_long) + 1)
+            short_edge = np.random.randint(min(scale_short),
+                                           max(scale_short) + 1)
+            return (long_edge, short_edge)
+        if self.mode != 'value':
+            raise ValueError(
+                "only 'value' mode supports more than 2 scales")
+        return scales[int(np.random.randint(num_scales))]
+
+    def __call__(self, results):
+        scale = self.select_scale(self.scales)
+        results['scale'] = scale
+        return Resize(scale, **self.kwargs)(results)
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(scales={self.scales}, '
+                f'mode={self.mode})')
+
+
+@PIPELINES.register_module()
+class GPUNormalize:
+    """Reference augmentations.py GPUNormalize only *prepares* the
+    mean/std tensors (normalization happens on device). Here the whole
+    train step runs on device and the fused aug normalizes there
+    (models/common/ssl_aug.py), so this just records the config."""
+
+    def __init__(self, input_format, mean, std):
+        self.input_format = input_format
+        self.mean = np.array(mean, np.float32)
+        self.std = np.array(std, np.float32)
+
+    def __call__(self, results):
+        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std)
+        return results
+
+
+class _ThirdPartyWrapper:
+    """Common shape for wrappers around third-party transform libs."""
+    lib = ''
+
+    def __init__(self, *args, **kwargs):
+        raise ImportError(
+            f'{type(self).__name__} needs {self.lib}, which is not '
+            'available in this environment; use the equivalent built-in '
+            'transforms (Resize/Flip/ColorJitter/...) instead')
+
+
+@PIPELINES.register_module()
+class Imgaug(_ThirdPartyWrapper):
+    lib = 'imgaug'
+
+
+@PIPELINES.register_module()
+class PytorchVideoTrans(_ThirdPartyWrapper):
+    lib = 'pytorchvideo'
+
+
+@PIPELINES.register_module()
+class TorchvisionTrans:
+    """Apply a torchvision.transforms op per frame (reference
+    augmentations.py TorchvisionTrans; torch is available in this
+    environment, torchvision may not be)."""
+
+    def __init__(self, type, **kwargs):   # noqa: A002 (reference API)
+        try:
+            import torchvision.transforms as tv
+        except ImportError as e:
+            raise ImportError(
+                'TorchvisionTrans needs torchvision, which is not '
+                'available here') from e
+        self.trans = getattr(tv, type)(**kwargs)
+
+    def __call__(self, results):
+        import torch
+        imgs = [self.trans(torch.from_numpy(
+            np.ascontiguousarray(img.transpose(2, 0, 1))))
+            for img in results['imgs']]
+        results['imgs'] = [np.ascontiguousarray(
+            img.numpy().transpose(1, 2, 0)) for img in imgs]
+        return results

@@ -195,3 +195,44 @@ class Transpose:
         for key in self.keys:
             results[key] = results[key].transpose(self.order)
         return results
+
+
+@PIPELINES.register_module()
+class ImageToTensor:
+    """HWC image -> CHW array for the given keys (reference
+    formating.py ImageToTensor; arrays stay numpy — the device transfer
+    happens at the jitted step boundary)."""
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def __call__(self, results):
+        for key in self.keys:
+            results[key] = np.ascontiguousarray(
+                results[key].transpose(2, 0, 1))
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(keys={self.keys})'
+
+
+@PIPELINES.register_module()
+class ToDataContainer:
+    """mmcv DataContainer is a DDP-collation wrapper with no equivalent
+    need under SPMD (the loader collates numpy global batches); kept as
+    a config-compatible no-op that validates the wrapped keys exist
+    (reference formating.py ToDataContainer)."""
+
+    def __init__(self, fields):
+        self.fields = fields
+
+    def __call__(self, results):
+        for field in self.fields:
+            key = field.get('key')
+            keys = key if isinstance(key, list) else [key]
+            for k in keys:
+                assert k in results, f'ToDataContainer: missing {k}'
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(fields={self.fields})'

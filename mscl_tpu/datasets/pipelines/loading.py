@@ -421,3 +421,188 @@ class PyAVInit(OpenCVInit):
 class PyAVDecode(OpenCVDecode):
     def __init__(self, multi_thread=False, **kwargs):
         super().__init__()
+
+
+@PIPELINES.register_module()
+class PIMSInit(OpenCVInit):
+    """pims is not available in this environment; maps onto the cv2
+    video backend (reference loading.py PIMSInit)."""
+
+    def __init__(self, io_backend='disk', mode='accurate', **kwargs):
+        super().__init__(io_backend=io_backend)
+
+
+@PIPELINES.register_module()
+class PIMSDecode(OpenCVDecode):
+    """cv2-backed PIMSDecode equivalent (reference loading.py)."""
+
+
+@PIPELINES.register_module()
+class PyAVDecodeMotionVector:
+    """Codec motion vectors require PyAV's side-data API, which has no
+    cv2 equivalent; raise with guidance (reference loading.py
+    PyAVDecodeMotionVector). RAFT/TVL1 extraction
+    (tools/misc/flow_extraction.py) is the supported motion source."""
+
+    def __call__(self, results):
+        raise NotImplementedError(
+            'PyAVDecodeMotionVector needs the PyAV codec side-data API '
+            '(not available here); use tools/misc/flow_extraction.py '
+            'for optical flow instead')
+
+
+@PIPELINES.register_module()
+class UntrimmedSampleFrames:
+    """Evenly sample clip centers every ``frame_interval`` frames over an
+    untrimmed video (reference loading.py UntrimmedSampleFrames):
+    centers at frame_interval//2 + k*frame_interval, each expanded to
+    clip_len frames clipped to the valid range."""
+
+    def __init__(self, clip_len=1, frame_interval=16, start_index=None):
+        self.clip_len = clip_len
+        self.frame_interval = frame_interval
+        self.start_index = start_index
+
+    def __call__(self, results):
+        total_frames = results['total_frames']
+        start_index = self.start_index if self.start_index is not None \
+            else results.get('start_index', 0)
+        clip_centers = np.arange(self.frame_interval // 2, total_frames,
+                                 self.frame_interval)
+        num_clips = clip_centers.shape[0]
+        frame_inds = clip_centers[:, None] + np.arange(
+            -(self.clip_len // 2),
+            self.clip_len - (self.clip_len // 2))[None, :]
+        frame_inds = np.clip(frame_inds, 0, total_frames - 1)
+        results['frame_inds'] = (np.concatenate(frame_inds) +
+                                 start_index).astype(np.int64)
+        results['clip_len'] = self.clip_len
+        results['frame_interval'] = self.frame_interval
+        results['num_clips'] = num_clips
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(clip_len={self.clip_len}, '
+                f'frame_interval={self.frame_interval})')
+
+
+@PIPELINES.register_module()
+class LoadProposals:
+    """Load top-k PGM proposals + BSP features for BSN-PEM training
+    (reference loading.py LoadProposals; columns follow the PGM csv:
+    tmin, tmax, tmin_score, tmax_score, score, match_iou — produced
+    by mscl_tpu/localization/bsn_utils.py)."""
+
+    def __init__(self, top_k, pgm_proposals_dir, pgm_features_dir,
+                 proposal_ext='.csv', feature_ext='.npy'):
+        if proposal_ext != '.csv' or feature_ext != '.npy':
+            raise NotImplementedError(
+                f'ext {proposal_ext}/{feature_ext} not supported')
+        self.top_k = top_k
+        self.pgm_proposals_dir = pgm_proposals_dir
+        self.pgm_features_dir = pgm_features_dir
+        self.proposal_ext = proposal_ext
+        self.feature_ext = feature_ext
+
+    def __call__(self, results):
+        video_name = results['video_name']
+        proposals = np.loadtxt(
+            osp.join(self.pgm_proposals_dir,
+                     video_name + self.proposal_ext),
+            dtype=np.float32, delimiter=',', skiprows=1)
+        proposals = np.array(proposals[:self.top_k])
+        results['tmin'] = proposals[:, 0]
+        results['tmax'] = proposals[:, 1]
+        results['tmin_score'] = proposals[:, 2]
+        results['tmax_score'] = proposals[:, 3]
+        results['reference_temporal_iou'] = proposals[:, 5]
+        feature = np.load(
+            osp.join(self.pgm_features_dir,
+                     video_name + self.feature_ext)).astype(np.float32)
+        results['bsp_feature'] = feature[:self.top_k, :]
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(top_k={self.top_k})'
+
+
+@PIPELINES.register_module()
+class LoadHVULabel:
+    """Convert the HVU per-category tag dict into flat one-hot label +
+    tag/category masks (reference loading.py LoadHVULabel)."""
+
+    def __init__(self, **kwargs):
+        self.hvu_initialized = False
+
+    def init_hvu_info(self, categories, category_nums):
+        self.categories = list(categories)
+        self.category_nums = list(category_nums)
+        self.num_categories = len(categories)
+        self.num_tags = sum(category_nums)
+        self.category2num = dict(zip(categories, category_nums))
+        start_idx = [0]
+        for num in self.category_nums[:-1]:
+            start_idx.append(start_idx[-1] + num)
+        self.category2startidx = dict(zip(categories, start_idx))
+        self.hvu_initialized = True
+
+    def __call__(self, results):
+        if not self.hvu_initialized:
+            self.init_hvu_info(results['categories'],
+                               results['category_nums'])
+        onehot = np.zeros(self.num_tags, np.float32)
+        onehot_mask = np.zeros(self.num_tags, np.float32)
+        category_mask = np.zeros(self.num_categories, np.float32)
+        for category, tags in results['label'].items():
+            category_mask[self.categories.index(category)] = 1.0
+            start = self.category2startidx[category]
+            num = self.category2num[category]
+            onehot[[start + t for t in tags]] = 1.0
+            onehot_mask[start:start + num] = 1.0
+        results['label'] = onehot
+        results['mask'] = onehot_mask
+        results['category_mask'] = category_mask
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}()'
+
+
+@PIPELINES.register_module()
+class ImageDecode:
+    """Load and decode single images from ``filename`` (reference
+    loading.py ImageDecode; ImageDataset pipelines)."""
+
+    def __init__(self, io_backend='disk', decoding_backend='cv2',
+                 **kwargs):
+        self.io_backend = io_backend
+        self.decoding_backend = decoding_backend
+
+    def __call__(self, results):
+        img = cv2.imread(results['filename'], cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(results['filename'])
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        results['imgs'] = [img]
+        results['original_shape'] = img.shape[:2]
+        results['img_shape'] = img.shape[:2]
+        return results
+
+
+@PIPELINES.register_module()
+class BuildPseudoClip:
+    """Repeat a single frame into a ``clip_len``-frame pseudo clip
+    (reference loading.py BuildPseudoClip)."""
+
+    def __init__(self, clip_len):
+        self.clip_len = clip_len
+
+    def __call__(self, results):
+        im = results['imgs'][0]
+        results['imgs'] = [np.copy(im) for _ in range(self.clip_len)]
+        results['clip_len'] = self.clip_len
+        results['num_clips'] = 1
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(clip_len={self.clip_len})'

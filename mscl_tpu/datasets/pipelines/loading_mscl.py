@@ -241,3 +241,18 @@ class TemporalShiftSampleFrames(SampleFrames):
         results['frame_interval'] = self.frame_interval
         results['num_clips'] = self.num_clips * 2
         return results
+
+
+@PIPELINES.register_module()
+class FlowToGT:
+    """Promote flow-derived pseudo-boxes to gt_bboxes (reference
+    loading_mscl.py FlowToGT; consumes the flow_prposals key produced by
+    the flow pseudo-box discovery tooling — reference key spelling
+    kept)."""
+
+    def __call__(self, results):
+        if 'gt_bboxes' in results:
+            raise NotImplementedError(
+                'FlowToGT cannot merge with existing gt_bboxes')
+        results['gt_bboxes'] = results['flow_prposals']
+        return results

@@ -323,3 +323,67 @@ class LoadKineticsPose:
         results['keypoint'] = new_kp[:self.max_person]
         results['keypoint_score'] = new_score[:self.max_person]
         return results
+
+
+@PIPELINES.register_module()
+class PoseCompact:
+    """Crop the coordinate frame to a padded tight box around all
+    keypoints (reference augmentations.py PoseCompact: tight box over
+    nonzero joints, expanded by ``padding``, optional hw_ratio clamp,
+    optionally allowed to pad outside the image)."""
+
+    def __init__(self, padding=0.25, threshold=10, hw_ratio=None,
+                 allow_imgpad=True):
+        assert padding >= 0
+        self.padding = padding
+        self.threshold = threshold
+        if hw_ratio is not None and not isinstance(hw_ratio,
+                                                   (tuple, list)):
+            hw_ratio = (hw_ratio, hw_ratio)
+        self.hw_ratio = hw_ratio
+        self.allow_imgpad = allow_imgpad
+
+    def __call__(self, results):
+        h, w = results['img_shape']
+        kp = results['keypoint']
+        kp[np.isnan(kp)] = 0.0
+        kp_x, kp_y = kp[..., 0], kp[..., 1]
+        min_x = np.min(kp_x[kp_x != 0], initial=np.inf)
+        min_y = np.min(kp_y[kp_y != 0], initial=np.inf)
+        max_x = np.max(kp_x[kp_x != 0], initial=-np.inf)
+        max_y = np.max(kp_y[kp_y != 0], initial=-np.inf)
+        if max_x - min_x < self.threshold or \
+                max_y - min_y < self.threshold:
+            return results
+
+        center = ((max_x + min_x) / 2, (max_y + min_y) / 2)
+        half_width = (max_x - min_x) / 2 * (1 + self.padding)
+        half_height = (max_y - min_y) / 2 * (1 + self.padding)
+        if self.hw_ratio is not None:
+            half_height = max(self.hw_ratio[0] * half_width, half_height)
+            half_width = max(1 / self.hw_ratio[1] * half_height,
+                             half_width)
+        min_x, max_x = center[0] - half_width, center[0] + half_width
+        min_y, max_y = center[1] - half_height, center[1] + half_height
+        if not self.allow_imgpad:
+            min_x, min_y = int(max(0, min_x)), int(max(0, min_y))
+            max_x, max_y = int(min(w, max_x)), int(min(h, max_y))
+        else:
+            min_x, min_y = int(min_x), int(min_y)
+            max_x, max_y = int(max_x), int(max_y)
+
+        kp_x[kp_x != 0] -= min_x
+        kp_y[kp_y != 0] -= min_y
+        results['img_shape'] = (max_y - min_y, max_x - min_x)
+        old = results.get('crop_quadruple', (0., 0., 1., 1.))
+        new = (min_x / w, min_y / h, (max_x - min_x) / w,
+               (max_y - min_y) / h)
+        results['crop_quadruple'] = (
+            old[0] + new[0] * old[2], old[1] + new[1] * old[3],
+            new[2] * old[2], new[3] * old[3])
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(padding={self.padding}, '
+                f'threshold={self.threshold}, hw_ratio={self.hw_ratio}, '
+                f'allow_imgpad={self.allow_imgpad})')

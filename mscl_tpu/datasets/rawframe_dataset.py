@@ -103,3 +103,40 @@ class VideoDataset(BaseDataset):
                     filename = osp.join(self.data_prefix, filename)
                 video_infos.append(dict(filename=filename, label=label))
         return video_infos
+
+
+@DATASETS.register_module()
+class AudioVisualDataset(RawframeDataset):
+    """Rawframe annotations extended with per-video audio (.npy
+    spectrogram/feature) and optional video paths (reference
+    mmaction/datasets/audio_visual_dataset.py)."""
+
+    def __init__(self, ann_file, pipeline, audio_prefix, **kwargs):
+        self.audio_prefix = audio_prefix
+        self.video_prefix = kwargs.pop('video_prefix', None)
+        super().__init__(ann_file, pipeline, **kwargs)
+
+    def load_annotations(self):
+        video_infos = super().load_annotations()
+        for info in video_infos:
+            rel = osp.relpath(info['frame_dir'], self.data_prefix) \
+                if self.data_prefix else info['frame_dir']
+            if self.audio_prefix is not None:
+                info['audio_path'] = osp.join(self.audio_prefix,
+                                              rel + '.npy')
+            if self.video_prefix:
+                info['filename'] = osp.join(self.video_prefix,
+                                            rel + '.mp4')
+        return video_infos
+
+
+@DATASETS.register_module()
+class ImageDataset(VideoDataset):
+    """'path label[s]' image annotations driven through the video
+    pipeline machinery with a single pseudo-frame (reference
+    mmaction/datasets/image_dataset.py: VideoDataset with
+    start_index=None)."""
+
+    def __init__(self, ann_file, pipeline, **kwargs):
+        kwargs.pop('start_index', None)
+        super().__init__(ann_file, pipeline, start_index=0, **kwargs)

@@ -385,3 +385,127 @@ class _CSNBottleneck(nn.Module):
                               (0, 0, 0), relu=False, dtype=self.dtype,
                               name='downsample')(x, train)
         return nn.relu(out + residual)
+
+
+@BACKBONES.register_module()
+class ResNet3dLayer(nn.Module):
+    """One standalone ResNet3d stage (reference resnet3d.py
+    ResNet3dLayer: a single res layer used as an AVA roi-head shared
+    backbone extension, no stem)."""
+    depth: int = 50
+    pretrained: Any = None
+    pretrained2d: bool = True
+    stage: int = 3
+    base_channels: int = 64
+    spatial_stride: int = 2
+    temporal_stride: int = 1
+    dilation: int = 1
+    style: str = 'pytorch'
+    all_frozen: bool = False
+    inflate: int = 1
+    inflate_style: str = '3x1x1'
+    norm_eval: bool = False
+    with_cp: bool = False
+    zero_init_residual: bool = True
+    conv_cfg: Any = None
+    norm_cfg: Any = None
+    act_cfg: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert 0 <= self.stage <= 3
+        block_type, default_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = BasicBlock3d if block_type == 'basic' else \
+            Bottleneck3d
+        expansion = 1 if block_type == 'basic' else 4
+        num_blocks = default_blocks[self.stage]
+        planes = self.base_channels * (2 ** self.stage)
+        in_planes = x.shape[-1]
+        train = train and not self.all_frozen
+        for b in range(num_blocks):
+            need_ds = (b == 0) and (
+                self.spatial_stride != 1 or self.temporal_stride != 1 or
+                in_planes != planes * expansion)
+            x = block_cls(
+                planes,
+                spatial_stride=self.spatial_stride if b == 0 else 1,
+                temporal_stride=self.temporal_stride if b == 0 else 1,
+                dilation=self.dilation,
+                inflate=bool(self.inflate),
+                downsample=need_ds, dtype=self.dtype,
+                name=f'layer{self.stage + 1}_{b}')(x, train)
+            in_planes = planes * expansion
+        if self.all_frozen:
+            x = jax.lax.stop_gradient(x)
+        return x
+
+
+@BACKBONES.register_module()
+class ResNet3dSlowOnly_TwoR5(ResNet3d):
+    """SlowOnly with a duplicated final stage: the last res layer runs
+    twice with independent weights, producing (global, local) features
+    for the TwoR5 MoCo necks (reference resnet3d_slowonly.py:56-123)."""
+    conv1_kernel: Sequence[int] = (1, 7, 7)
+    conv1_stride_t: int = 1
+    pool1_stride_t: int = 1
+    inflate: Any = (0, 0, 1, 1)
+    with_pool2: bool = False
+    lateral: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, laterals=None):
+        assert not self.lateral
+        block_type, default_blocks = ARCH_SETTINGS[self.depth]
+        stage_blocks = self.stage_blocks or \
+            default_blocks[:self.num_stages]
+        block_cls = BasicBlock3d if block_type == 'basic' else \
+            Bottleneck3d
+        expansion = 1 if block_type == 'basic' else 4
+        inflations = self._stage_inflations()
+
+        k = tuple(self.conv1_kernel)
+        x = ConvBN(self.base_channels, k,
+                   (self.conv1_stride_t, self.conv1_stride_s,
+                    self.conv1_stride_s),
+                   tuple((kk - 1) // 2 for kk in k),
+                   dtype=self.dtype, name='conv1')(x, train)
+        if self.with_pool1:
+            x = _max_pool3d(x, (1, 3, 3),
+                            (self.pool1_stride_t, self.pool1_stride_s,
+                             self.pool1_stride_s), (0, 1, 1))
+
+        def run_stage(x, i, suffix=''):
+            planes = self.base_channels * (2 ** i)
+            ss, ts = self.spatial_strides[i], self.temporal_strides[i]
+            in_planes = x.shape[-1]
+            for b in range(stage_blocks[i]):
+                need_ds = (b == 0) and (
+                    ss != 1 or ts != 1 or
+                    in_planes != planes * expansion)
+                x = block_cls(
+                    planes,
+                    spatial_stride=ss if b == 0 else 1,
+                    temporal_stride=ts if b == 0 else 1,
+                    dilation=self.dilations[i],
+                    inflate=bool(inflations[i]),
+                    downsample=need_ds, dtype=self.dtype,
+                    name=f'layer{i + 1}_{b}{suffix}')(x, train)
+                in_planes = planes * expansion
+            return x
+
+        outs = []
+        last = len(stage_blocks) - 1
+        for i in range(last):
+            x = run_stage(x, i)
+            if i == 0 and self.with_pool2:
+                x = _max_pool3d(x, (2, 1, 1), (2, 1, 1), (0, 0, 0))
+            if i in self.out_indices:
+                outs.append(x)
+        x_g = run_stage(x, last)
+        x_l = run_stage(x, last, suffix='_local')
+        if last in self.out_indices:
+            outs.append((x_g, x_l))
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(outs)

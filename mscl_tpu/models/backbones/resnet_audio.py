@@ -136,3 +136,6 @@ class ResNetAudio(nn.Module):
                     name=f'layer{i + 1}_{b}')(x, train)
                 in_planes = planes * 4
         return x
+
+
+BACKBONES.register_module(module=ConvAudio)

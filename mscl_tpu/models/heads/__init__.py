@@ -14,6 +14,8 @@ from .recognition_heads import (AudioTSNHead, SlowFastHead, TRNHead,
                                 TimeSformerHead, TPNHead, TSMHead,
                                 TSNHead, X3DHead)
 from .moco_head_v2 import MSCLWithAugMxHead
+from .reid_distill_heads import (FGTSMReidSimpleHead, RcMoDistHead,
+                                 TSMHead3D, TSMReidSimpleHead)
 from .moco_head_v3 import (MoCoHeadV2, MSCLWithAugDistillMxHead,
                            MSCLWithAugMSFMxHead, MSFHead, NMSFHead)
 
@@ -25,6 +27,8 @@ __all__ = ['BaseHead', 'topk_accuracy', 'I3DHead', 'MoCoHead',
            'MlvlMSCLWithAugPosHead', 'MAMSCLWithAugPosHead', 'MoCoHeadV2',
            'MSFHead', 'NMSFHead', 'MSCLWithAugMSFMxHead',
            'MSCLWithAugDistillMxHead', 'TSNHead', 'TSMHead', 'TPNHead',
+           'TSMHead3D', 'TSMReidSimpleHead', 'FGTSMReidSimpleHead',
+           'RcMoDistHead',
            'TimeSformerHead', 'AudioTSNHead', 'TRNHead',
            'LFB', 'FBOHead', 'FBONonLocal', 'NonLocalLayer',
            'LFBInferHead', 'ACRNHead', 'sample_lfb',

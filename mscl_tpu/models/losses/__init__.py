@@ -1,5 +1,6 @@
 from .cross_entropy_loss import (BCELossWithLogits, CrossEntropyLoss,
-                                 CrossEntropyLossTorch, NLLLoss,
+                                 CrossEntropyLossTorch, NLLLoss, TripletLoss,
+                                 WeightedCrossEntropyLoss_torch,
                                  cross_entropy, soft_cross_entropy)
 from .bmn_loss import (BinaryLogisticRegressionLoss, BMNLoss,
                        binary_logistic_regression_loss)
@@ -12,4 +13,4 @@ __all__ = ['CrossEntropyLoss', 'CrossEntropyLossTorch', 'BCELossWithLogits',
            'MultiPositiveSumLoss', 'MultiPositiveUniLoss',
            'MultiPositiveCircleLoss', 'BMNLoss', 'BinaryLogisticRegressionLoss',
            'binary_logistic_regression_loss', 'HVULoss', 'OHEMHingeLoss',
-           'ohem_hinge_loss']
+           'ohem_hinge_loss', 'TripletLoss', 'WeightedCrossEntropyLoss_torch']

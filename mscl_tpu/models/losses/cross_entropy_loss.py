@@ -24,15 +24,21 @@ def log_softmax(x, axis=-1):
 
 def cross_entropy(cls_score: jnp.ndarray, label: jnp.ndarray,
                   class_weight: Optional[jnp.ndarray] = None,
-                  ignore_index: int = -100) -> jnp.ndarray:
+                  ignore_index: int = -100,
+                  reduction: str = 'mean') -> jnp.ndarray:
     """Hard-label CE with ignore_index masking (torch semantics: mean over
-    non-ignored samples, weighted by class_weight)."""
+    non-ignored samples, weighted by class_weight; reduction='none'
+    returns the per-sample losses, zeroed at ignored samples)."""
     logp = log_softmax(cls_score, axis=-1)
     label = label.astype(jnp.int32)
     valid = label != ignore_index
     safe_label = jnp.where(valid, label, 0)
     nll = -jnp.take_along_axis(logp, safe_label[..., None],
                                axis=-1).squeeze(-1)
+    if reduction == 'none':
+        if class_weight is not None:
+            nll = nll * class_weight[safe_label]
+        return nll * valid
     if class_weight is not None:
         w = class_weight[safe_label] * valid
         return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
@@ -114,3 +120,53 @@ class NLLLoss:
         nll = -jnp.take_along_axis(cls_score, label[..., None],
                                    axis=-1).squeeze(-1)
         return self.loss_weight * nll.mean()
+
+
+@LOSSES.register_module()
+class WeightedCrossEntropyLoss_torch:
+    """Per-sample pool-weighted CE: loss = sum(w * ce) / (sum(w) + eps)
+    (reference cross_entropy_loss.py WeightedCrossEntropyLoss_torch)."""
+
+    def __init__(self, weight=None, size_average=None, ignore_index=-100,
+                 loss_weight=1.0, eps=1e-5):
+        self.ignore_index = ignore_index
+        self.loss_weight = loss_weight
+        self.eps = eps
+
+    def __call__(self, cls_score, label, pool_weight, **kwargs):
+        per = cross_entropy(cls_score, label,
+                            ignore_index=self.ignore_index,
+                            reduction='none')
+        loss = (pool_weight * per).sum() / (pool_weight.sum() + self.eps)
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class TripletLoss:
+    """Batch-hard triplet loss with margin over embedded features.
+
+    The reference's reid heads (reid_head.py) default to
+    ``loss_reid=dict(type='TripletLoss')`` but the reference registers
+    no TripletLoss anywhere — registering the standard batch-hard
+    formulation (hardest positive / hardest negative per anchor) fixes
+    that gap, like the MSCLWithAugPosHeadV2 registration fix.
+    """
+
+    def __init__(self, margin=0.3, loss_weight=1.0):
+        self.margin = margin
+        self.loss_weight = loss_weight
+
+    def __call__(self, feat, label, **kwargs):
+        d2 = (jnp.sum(feat ** 2, 1)[:, None] +
+              jnp.sum(feat ** 2, 1)[None, :] -
+              2.0 * feat @ feat.T)
+        dist = jnp.sqrt(jnp.clip(d2, 1e-12, None))
+        same = (label[:, None] == label[None, :]).astype(feat.dtype)
+        eye = jnp.eye(feat.shape[0], dtype=feat.dtype)
+        pos_mask = same - eye
+        neg_mask = 1.0 - same
+        hardest_pos = (dist * pos_mask).max(axis=1)
+        inf = jnp.full_like(dist, 1e9)
+        hardest_neg = jnp.where(neg_mask > 0, dist, inf).min(axis=1)
+        per = jnp.maximum(hardest_pos - hardest_neg + self.margin, 0.0)
+        return self.loss_weight * per.mean()
