@@ -1,0 +1,55 @@
+# BSN PEM stage (parity: reference configs/localization/bsn/
+# bsn_pem_400x100_1x16_20e_activitynet_feature.py + _base_/models/bsn_pem.py).
+# Proposals/features come from the PGM stage
+# (mscl_tpu/localization/bsn_utils.py, LoadProposals transform).
+_base_ = ['../../_base_/default_runtime.py']
+
+model = dict(type='PEM', pem_feat_dim=32, pem_hidden_dim=256,
+             pem_u_ratio_m=1, pem_u_ratio_l=2,
+             pem_high_temporal_iou_threshold=0.6,
+             pem_low_temporal_iou_threshold=0.2,
+             soft_nms_alpha=0.75, soft_nms_low_threshold=0.65,
+             soft_nms_high_threshold=0.9, post_process_top_k=100)
+dataset_type = 'ActivityNetDataset'
+data_root = 'data/ActivityNet/activitynet_feature_cuhk/csv_mean_100/'
+ann_file_train = 'data/ActivityNet/anet_anno_train.json'
+ann_file_val = 'data/ActivityNet/anet_anno_val.json'
+work_dir = './work_dirs/bsn_400x100_1x16_20e_activitynet_feature'
+pgm_proposals_dir = f'{work_dir}/pgm_proposals/'
+pgm_features_dir = f'{work_dir}/pgm_features/'
+train_pipeline = [
+    dict(type='LoadProposals', top_k=500,
+         pgm_proposals_dir=pgm_proposals_dir,
+         pgm_features_dir=pgm_features_dir),
+    dict(type='Collect',
+         keys=['bsp_feature', 'reference_temporal_iou'],
+         meta_name='video_meta', meta_keys=['video_name']),
+    dict(type='ToTensor',
+         keys=['bsp_feature', 'reference_temporal_iou']),
+]
+test_pipeline = [
+    dict(type='LoadProposals', top_k=1000,
+         pgm_proposals_dir=pgm_proposals_dir,
+         pgm_features_dir=pgm_features_dir),
+    dict(type='Collect',
+         keys=['bsp_feature', 'tmin', 'tmax', 'tmin_score',
+               'tmax_score'],
+         meta_name='video_meta',
+         meta_keys=['video_name', 'duration_second', 'duration_frame',
+                    'annotations', 'feature_frame']),
+    dict(type='ToTensor', keys=['bsp_feature']),
+]
+data = dict(
+    videos_per_gpu=16, workers_per_gpu=8,
+    train=dict(type=dataset_type, ann_file=ann_file_train,
+               data_prefix=data_root, pipeline=train_pipeline),
+    val=dict(type=dataset_type, ann_file=ann_file_val,
+             data_prefix=data_root, pipeline=train_pipeline),
+    test=dict(type=dataset_type, ann_file=ann_file_val,
+              data_prefix=data_root, pipeline=test_pipeline))
+optimizer = dict(type='Adam', lr=0.01, weight_decay=1e-5)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(policy='step', step=[10])
+total_epochs = 20
+checkpoint_config = dict(interval=1, filename_tmpl='pem_epoch_{}.pth')
+log_config = dict(interval=50, hooks=[dict(type='TextLoggerHook')])

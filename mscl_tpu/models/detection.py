@@ -79,14 +79,16 @@ class BBoxHeadAVA(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x: (R, T, h, w, C) RoI features -> (R, num_classes) logits."""
+        """x: (R, T, h, w, C) RoI features -> (R, num_classes) logits.
+        Already-pooled (R, C) features (FBOHead output) pass through."""
         if self.dropout_before_pool and self.dropout_ratio > 0:
             x = nn.Dropout(rate=self.dropout_ratio,
                            deterministic=not train)(x)
-        x = x.mean(axis=1) if self.temporal_pool_type == 'avg' else \
-            x.max(axis=1)
-        x = x.mean(axis=(1, 2)) if self.spatial_pool_type == 'avg' else \
-            x.max(axis=(1, 2))
+        if x.ndim == 5:
+            x = x.mean(axis=1) if self.temporal_pool_type == 'avg' \
+                else x.max(axis=1)
+            x = x.mean(axis=(1, 2)) if self.spatial_pool_type == 'avg' \
+                else x.max(axis=(1, 2))
         if not self.dropout_before_pool and self.dropout_ratio > 0:
             x = nn.Dropout(rate=self.dropout_ratio,
                            deterministic=not train)(x)
@@ -161,6 +163,21 @@ class AVAFastRCNN(nn.Module):
                               dict(type='SingleRoIExtractor3D')))
         ext_cfg.pop('type', None)
         self.roi_extractor = SingleRoIExtractor3D(**ext_cfg)
+        # optional shared head between RoI extraction and bbox head:
+        # ACRNHead (actor-context relation, reference misc_head.py) or
+        # FBOHead (long-term feature bank, reference fbo_head.py)
+        sh_cfg = rh.get('shared_head')
+        if sh_cfg:
+            sh_cfg = dict(sh_cfg)
+            sh_type = sh_cfg.pop('type')
+            from .heads.lfb import ACRNHead, FBOHead
+            sh_cfg.pop('lfb_cfg', None)   # LFB is a host-side bank
+            sh_cls = {'ACRNHead': ACRNHead, 'FBOHead': FBOHead}[sh_type]
+            self.shared_head = sh_cls(dtype=self.dtype, **sh_cfg)
+            self.shared_head_type = sh_type
+        else:
+            self.shared_head = None
+            self.shared_head_type = None
         head_cfg = dict(rh.get('bbox_head', dict(type='BBoxHeadAVA')))
         head_cfg.pop('type', None)
         self.bbox_head = BBoxHeadAVA(dtype=self.dtype, **head_cfg)
@@ -169,10 +186,22 @@ class AVAFastRCNN(nn.Module):
         feats = self.backbone_m(to_nthwc(imgs), train=train)
         return feats[-1] if isinstance(feats, list) else feats
 
-    def forward_train(self, imgs, rois, labels, valid_mask=None,
-                      train: bool = True) -> Dict:
-        feat = self.extract_feat(imgs, train)
+    def _roi_feats(self, feat, rois, train, lt_feat=None):
         roi_feats = self.roi_extractor(feat, rois)
+        if self.shared_head_type == 'ACRNHead':
+            roi_feats = self.shared_head(roi_feats, feat, rois,
+                                         train=train)
+        elif self.shared_head_type == 'FBOHead':
+            if lt_feat is None:   # empty bank: the RoI's own pooled feat
+                lt_feat = roi_feats.max(axis=(2, 3)).mean(
+                    axis=1, keepdims=True)
+            roi_feats = self.shared_head(roi_feats, lt_feat, train=train)
+        return roi_feats
+
+    def forward_train(self, imgs, rois, labels, valid_mask=None,
+                      train: bool = True, lt_feat=None) -> Dict:
+        feat = self.extract_feat(imgs, train)
+        roi_feats = self._roi_feats(feat, rois, train, lt_feat)
         cls_score = self.bbox_head(roi_feats, train=train)
         return self.bbox_head.loss(cls_score, labels, valid_mask)
 
@@ -186,9 +215,9 @@ class AVAFastRCNN(nn.Module):
         return jnp.concatenate(
             [batch_ids[:, None], rois.reshape(b * r, 4)], axis=1)
 
-    def forward_test(self, imgs, rois):
+    def forward_test(self, imgs, rois, lt_feat=None):
         feat = self.extract_feat(imgs, train=False)
-        roi_feats = self.roi_extractor(feat, rois)
+        roi_feats = self._roi_feats(feat, rois, False, lt_feat)
         return jax.nn.sigmoid(self.bbox_head(roi_feats, train=False))
 
     def __call__(self, imgs, rois, labels=None, train: bool = False,

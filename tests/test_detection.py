@@ -333,3 +333,44 @@ class TestLFBStack:
         y, _ = acrn.apply(va, roi_feat, ctx, jnp.asarray(rois[:2]),
                           train=True, mutable=['batch_stats'])
         assert y.shape == (2, 2, 6, 6, C)
+
+
+class TestSharedHeads:
+    """AVAFastRCNN shared_head wiring: ACRN (actor-context relation)
+    and FBO (feature-bank operator) between RoI extraction and the
+    bbox head (reference roi_head shared_head configs)."""
+
+    def _run(self, shared_head, in_channels):
+        import jax
+        from mscl_tpu.models.builder import build_model
+        model = build_model(dict(
+            type='AVAFastRCNN',
+            backbone=dict(type='ResNet3dSlowOnly', depth=18,
+                          pretrained=None, base_channels=8),
+            roi_head=dict(
+                bbox_roi_extractor=dict(type='SingleRoIExtractor3D',
+                                        featmap_stride=16,
+                                        output_size=4,
+                                        with_temporal_pool=True),
+                shared_head=shared_head,
+                bbox_head=dict(type='BBoxHeadAVA',
+                               in_channels=in_channels,
+                               num_classes=6))))
+        imgs = jnp.zeros((1, 3, 4, 32, 32))
+        rois = jnp.asarray([[0., 0., 0., 16., 16.],
+                            [0., 4., 4., 28., 28.]])
+        v = model.init(jax.random.PRNGKey(0), imgs, rois,
+                       return_loss=False)
+        scores = model.apply(v, imgs, rois, return_loss=False,
+                             mutable=['batch_stats'])[0]
+        assert scores.shape == (2, 6)
+        assert bool(jnp.all((scores >= 0) & (scores <= 1)))
+
+    def test_acrn_shared_head(self):
+        self._run(dict(type='ACRNHead', in_channels=128,
+                       out_channels=64), 64)
+
+    def test_fbo_shared_head(self):
+        self._run(dict(type='FBOHead',
+                       lfb_cfg=dict(lfb_prefix_path='/tmp/x'),
+                       fbo_cfg=dict(type='max')), 128)
