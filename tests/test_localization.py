@@ -377,3 +377,73 @@ class TestSSNTestPath:
         metrics = ds.evaluate(results)
         assert any(k.startswith('mAP@') for k in metrics)
         assert all(np.isfinite(v) for v in metrics.values())
+
+
+class TestBSNPEMDataPath:
+    """BSN PEM end to end through the new LoadProposals data path:
+    synthetic PGM proposal csv + BSP feature npy -> LoadProposals ->
+    jitted PEM train steps (loss decreases) -> proposal post-processing
+    (reference bsn_pem config chain)."""
+
+    def test_pem_trains_on_loaded_proposals(self, tmp_path):
+        import optax
+        rng = np.random.default_rng(0)
+        n_props = 64
+        # BSP feature carries the target iou signal so the loss CAN fall
+        ious = rng.uniform(0, 1, n_props).astype(np.float32)
+        feats = np.concatenate(
+            [ious[:, None].repeat(8, 1) +
+             rng.normal(scale=0.05, size=(n_props, 8)),
+             rng.normal(size=(n_props, 8))], axis=1).astype(np.float32)
+        header = 'tmin,tmax,tmin_score,tmax_score,score,match_iou\n'
+        rows = [f'{0.1 + 0.005 * i:.3f},{0.2 + 0.005 * i:.3f},'
+                f'0.9,0.8,0.7,{ious[i]:.4f}' for i in range(n_props)]
+        (tmp_path / 'v_test.csv').write_text(header + '\n'.join(rows))
+        np.save(tmp_path / 'v_test.npy', feats)
+
+        from mscl_tpu.datasets.builder import PIPELINES
+        load = PIPELINES.module_dict['LoadProposals'](
+            top_k=n_props, pgm_proposals_dir=str(tmp_path),
+            pgm_features_dir=str(tmp_path))
+        r = load(dict(video_name='v_test'))
+
+        pem = RECOGNIZERS.get('PEM')(pem_feat_dim=16, pem_hidden_dim=32)
+        batch = dict(
+            bsp_feature=jnp.asarray(r['bsp_feature'])[None],
+            reference_temporal_iou=jnp.asarray(
+                r['reference_temporal_iou'])[None])
+        rngs = {'params': jax.random.PRNGKey(0),
+                'moco': jax.random.PRNGKey(1)}
+        v = pem.init(rngs, batch, method='train_step')
+        tx = optax.adam(3e-2)
+        opt_state = tx.init(v['params'])
+
+        @jax.jit
+        def step(params, opt_state, key):
+            def loss_fn(p):
+                (loss, log_vars) = pem.apply(
+                    {'params': p}, batch, method='train_step',
+                    rngs={'moco': key})
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params = v['params']
+        losses = []
+        for i in range(80):
+            params, opt_state, loss = step(
+                params, opt_state, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8, losses[::10]
+
+        scores = pem.apply({'params': params},
+                           jnp.asarray(r['bsp_feature']),
+                           method='forward_test')
+        props = pem.proposals_from_outputs(
+            scores, r['tmin'], r['tmax'], r['tmin_score'],
+            r['tmax_score'],
+            dict(video_name='v_test', duration_second=10.0,
+                 duration_frame=300, feature_frame=300,
+                 annotations=[]))
+        assert len(props) > 0
