@@ -118,3 +118,214 @@ def test_two_stage_r3d_matches_torch():
     out2 = np.asarray(out_jax[1])
     assert out2.shape == out_t.shape
     np.testing.assert_allclose(out2, out_t, rtol=1e-3, atol=1e-3)
+
+
+class TorchConv2Plus1D(tnn.Sequential):
+    """torchvision Conv2Plus1D: 1x3x3 conv -> BN -> ReLU -> 3x1x1."""
+
+    def __init__(self, cin, cout, mid, stride=1):
+        super().__init__(
+            tnn.Conv3d(cin, mid, (1, 3, 3), stride=(1, stride, stride),
+                       padding=(0, 1, 1), bias=False),
+            tnn.BatchNorm3d(mid), tnn.ReLU(),
+            tnn.Conv3d(mid, cout, (3, 1, 1), stride=(stride, 1, 1),
+                       padding=(1, 0, 0), bias=False))
+
+
+class TorchR2Plus1dBlock(tnn.Module):
+
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+
+        def midplanes(ci, co):
+            return (ci * co * 3 * 3 * 3) // (ci * 3 * 3 + 3 * co)
+
+        self.conv1 = tnn.Sequential(
+            TorchConv2Plus1D(cin, planes, midplanes(cin, planes),
+                             stride),
+            tnn.BatchNorm3d(planes), tnn.ReLU())
+        self.conv2 = tnn.Sequential(
+            TorchConv2Plus1D(planes, planes,
+                             midplanes(planes, planes)),
+            tnn.BatchNorm3d(planes))
+        self.downsample = None
+        if stride != 1 or cin != planes:
+            self.downsample = tnn.Sequential(
+                tnn.Conv3d(cin, planes, 1, stride=(stride,) * 3,
+                           bias=False),
+                tnn.BatchNorm3d(planes))
+        self.relu = tnn.ReLU()
+
+    def forward(self, x):
+        res = x
+        out = self.conv2(self.conv1(x))
+        if self.downsample is not None:
+            res = self.downsample(x)
+        return self.relu(out + res)
+
+
+class TorchTinyR2Plus1d(tnn.Module):
+    """Stem + one stride-1 block + one stride-2 block of r2plus1d_18
+    (torchvision R2Plus1dStem geometry with 45-channel mid)."""
+
+    def __init__(self, width=8):
+        super().__init__()
+        self.stem = tnn.Sequential(
+            tnn.Conv3d(3, 45, (1, 7, 7), stride=(1, 2, 2),
+                       padding=(0, 3, 3), bias=False),
+            tnn.BatchNorm3d(45), tnn.ReLU(),
+            tnn.Conv3d(45, width, (3, 1, 1), stride=1,
+                       padding=(1, 0, 0), bias=False),
+            tnn.BatchNorm3d(width), tnn.ReLU())
+        self.layer1 = TorchR2Plus1dBlock(width, width, 1)
+        self.layer2 = TorchR2Plus1dBlock(width, width * 2, 2)
+
+    def forward(self, x):
+        return self.layer2(self.layer1(self.stem(x)))
+
+
+def copy_conv(params, torch_conv):
+    torch_conv.weight.data = torch.from_numpy(
+        np.transpose(np.asarray(params['kernel']),
+                     (4, 3, 0, 1, 2)).copy())
+
+
+def copy_bn(params, stats, torch_bn):
+    torch_bn.weight.data = torch.from_numpy(
+        np.asarray(params['scale']).copy())
+    torch_bn.bias.data = torch.from_numpy(
+        np.asarray(params['bias']).copy())
+    torch_bn.running_mean.data = torch.from_numpy(
+        np.asarray(stats['mean']).copy())
+    torch_bn.running_var.data = torch.from_numpy(
+        np.asarray(stats['var']).copy())
+
+
+def test_two_stage_r2plus1d_matches_torch():
+    """R(2+1)D factorized blocks + stem vs hand-built torch (shared
+    weights, eval mode) — guards the midplane formula, the mid-BN/ReLU
+    placement inside Conv2Plus1D and the (2+1)D striding."""
+    from mscl_tpu.models.builder import build_backbone
+    rng = np.random.default_rng(1)
+    width = 8
+    model = build_backbone(dict(type='ResNet2Plus1d', depth=18,
+                                base_width=width, layers=(1, 1)))
+    x = rng.normal(size=(2, 6, 32, 32, 3)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        def randomize(stats):
+            return jax.tree.map(
+                lambda v: jnp.asarray(
+                    rng.uniform(0.5, 1.5, v.shape).astype(np.float32)),
+                stats)
+        variables = {'params': variables['params'],
+                     'batch_stats': randomize(variables['batch_stats'])}
+        out_jax = model.apply(variables, jnp.asarray(x), train=False)
+
+    tm = TorchTinyR2Plus1d(width).eval()
+    p = jax.device_get(variables['params'])
+    s = jax.device_get(variables['batch_stats'])
+    copy_conv(p['stem_s']['conv'], tm.stem[0])
+    copy_bn(p['stem_s']['bn'], s['stem_s']['bn'], tm.stem[1])
+    copy_conv(p['stem_t']['conv'], tm.stem[3])
+    copy_bn(p['stem_t']['bn'], s['stem_t']['bn'], tm.stem[4])
+    for jname, tblock in (('layer1_0', tm.layer1),
+                          ('layer2_0', tm.layer2)):
+        jp, js = p[jname], s[jname]
+        for cname, tconv in (('conv1', tblock.conv1),
+                             ('conv2', tblock.conv2)):
+            copy_conv(jp[f'{cname}_s']['conv'], tconv[0][0])
+            copy_bn(jp[f'{cname}_s']['bn'], js[f'{cname}_s']['bn'],
+                    tconv[0][1])
+            copy_conv(jp[f'{cname}_t'], tconv[0][3])
+        copy_bn(jp['bn1'], js['bn1'], tblock.conv1[1])
+        copy_bn(jp['bn2'], js['bn2'], tblock.conv2[1])
+        if 'downsample' in jp:
+            copy_conv(jp['downsample']['conv'], tblock.downsample[0])
+            copy_bn(jp['downsample']['bn'], js['downsample']['bn'],
+                    tblock.downsample[1])
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        out_t = tm(xt).permute(0, 2, 3, 4, 1).numpy()
+
+    out2 = np.asarray(out_jax[1])
+    assert out2.shape == out_t.shape
+    np.testing.assert_allclose(out2, out_t, rtol=1e-3, atol=1e-3)
+
+
+class TorchCSNBottleneck(tnn.Module):
+    """ir-CSN bottleneck: 1x1x1 -> depthwise 3x3x3 -> 1x1x1 (reference
+    resnet3d_csn.py CSNBottleneck3d, ir mode)."""
+
+    def __init__(self, cin, planes, s_sp=1, s_t=1):
+        super().__init__()
+        self.conv1 = tnn.Sequential(
+            tnn.Conv3d(cin, planes, 1, bias=False),
+            tnn.BatchNorm3d(planes), tnn.ReLU())
+        self.conv2 = tnn.Sequential(
+            tnn.Conv3d(planes, planes, 3, stride=(s_t, s_sp, s_sp),
+                       padding=1, groups=planes, bias=False),
+            tnn.BatchNorm3d(planes), tnn.ReLU())
+        self.conv3 = tnn.Sequential(
+            tnn.Conv3d(planes, planes * 4, 1, bias=False),
+            tnn.BatchNorm3d(planes * 4))
+        self.downsample = None
+        if s_sp != 1 or s_t != 1 or cin != planes * 4:
+            self.downsample = tnn.Sequential(
+                tnn.Conv3d(cin, planes * 4, 1,
+                           stride=(s_t, s_sp, s_sp), bias=False),
+                tnn.BatchNorm3d(planes * 4))
+        self.relu = tnn.ReLU()
+
+    def forward(self, x):
+        res = x if self.downsample is None else self.downsample(x)
+        return self.relu(self.conv3(self.conv2(self.conv1(x))) + res)
+
+
+def test_csn_bottleneck_matches_torch():
+    """Depthwise-separated bottleneck vs torch grouped conv (shared
+    weights, eval): guards the feature_group_count depthwise kernel
+    layout and the ir-CSN block wiring."""
+    from mscl_tpu.models.backbones.resnet3d import _CSNBottleneck
+    rng = np.random.default_rng(2)
+    planes = 4
+    cin = 8
+    block = _CSNBottleneck(planes, spatial_stride=2, temporal_stride=2,
+                           downsample=True)
+    x = rng.normal(size=(2, 4, 8, 8, cin)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        v = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        rngs = np.random.default_rng(3)
+
+        def randomize(stats):
+            return jax.tree.map(
+                lambda a: jnp.asarray(
+                    rngs.uniform(0.5, 1.5, a.shape).astype(np.float32)),
+                stats)
+        v = {'params': v['params'],
+             'batch_stats': randomize(v['batch_stats'])}
+        out_jax = block.apply(v, jnp.asarray(x), train=False)
+
+    tb = TorchCSNBottleneck(cin, planes, 2, 2).eval()
+    p = jax.device_get(v['params'])
+    s = jax.device_get(v['batch_stats'])
+    copy_conv(p['conv1']['conv'], tb.conv1[0])
+    copy_bn(p['conv1']['bn'], s['conv1']['bn'], tb.conv1[1])
+    # depthwise: flax kernel (3,3,3,1,planes) -> torch (planes,1,3,3,3)
+    tb.conv2[0].weight.data = torch.from_numpy(
+        np.transpose(np.asarray(p['conv2_dw']['kernel']),
+                     (4, 3, 0, 1, 2)).copy())
+    copy_bn(p['conv2_bn'], s['conv2_bn'], tb.conv2[1])
+    copy_conv(p['conv3']['conv'], tb.conv3[0])
+    copy_bn(p['conv3']['bn'], s['conv3']['bn'], tb.conv3[1])
+    copy_conv(p['downsample']['conv'], tb.downsample[0])
+    copy_bn(p['downsample']['bn'], s['downsample']['bn'],
+            tb.downsample[1])
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        out_t = tb(xt).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
+                               atol=1e-3)
