@@ -329,3 +329,71 @@ def test_csn_bottleneck_matches_torch():
         out_t = tb(xt).permute(0, 2, 3, 4, 1).numpy()
     np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
                                atol=1e-3)
+
+
+class TorchTAM(tnn.Module):
+    """TAM per the published TANet module (reference mmaction tam.py):
+    global branch Linear(T,aT)/BN/ReLU/Linear(aT,K)/Softmax produces a
+    per-(video,channel) temporal kernel; local branch
+    Conv1d(C,C/b,3)/BN/ReLU/Conv1d(C/b,C,1)/Sigmoid gates frames."""
+
+    def __init__(self, t=4, c=8, alpha=2, k=3, beta=4):
+        super().__init__()
+        self.t, self.k = t, k
+        self.G = tnn.Sequential(
+            tnn.Linear(t, t * alpha, bias=False),
+            tnn.BatchNorm1d(t * alpha), tnn.ReLU(),
+            tnn.Linear(t * alpha, k, bias=False), tnn.Softmax(-1))
+        self.L = tnn.Sequential(
+            tnn.Conv1d(c, c // beta, 3, padding=1, bias=False),
+            tnn.BatchNorm1d(c // beta), tnn.ReLU(),
+            tnn.Conv1d(c // beta, c, 1, bias=False), tnn.Sigmoid())
+
+    def forward(self, x):                       # (N*T, C, H, W)
+        nt, c, h, w = x.shape
+        n, t, k = nt // self.t, self.t, self.k
+        xt = x.view(n, t, c, h, w)
+        theta = xt.mean(dim=(3, 4))             # (N, T, C)
+        kernel = self.G(theta.permute(0, 2, 1).reshape(n * c, t))
+        attn = self.L(theta.permute(0, 2, 1))   # (N, C, T)
+        xt = xt * attn.permute(0, 2, 1)[:, :, :, None, None]
+        seq = xt.permute(0, 2, 1, 3, 4).reshape(n * c, t, h * w)
+        seq = torch.nn.functional.pad(seq, (0, 0, k // 2, k // 2))
+        out = sum(kernel[:, i][:, None, None] * seq[:, i:i + t]
+                  for i in range(k))
+        out = out.view(n, c, t, h, w).permute(0, 2, 1, 3, 4)
+        return out.reshape(nt, c, h, w)
+
+
+def test_tam_matches_torch():
+    """Guards the ADVICE round-1 findings: TAM width/placement and the
+    1x1 second local conv."""
+    from mscl_tpu.models.backbones.tanet import TAM
+    rng = np.random.default_rng(4)
+    t, c = 4, 8
+    tam = TAM(num_segments=t)
+    x = rng.normal(size=(2 * t, 6, 6, c)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        v = tam.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out_jax = tam.apply(v, jnp.asarray(x), train=False)
+
+    tm = TorchTAM(t=t, c=c).eval()
+    p = jax.device_get(v['params'])
+    s = jax.device_get(v['batch_stats'])
+    tm.G[0].weight.data = torch.from_numpy(
+        np.asarray(p['g_fc1']['kernel']).T.copy())
+    copy_bn(p['g_bn'], s['g_bn'], tm.G[1])
+    tm.G[3].weight.data = torch.from_numpy(
+        np.asarray(p['g_fc2']['kernel']).T.copy())
+    # flax Conv kernel (k, Cin, Cout) -> torch Conv1d (Cout, Cin, k)
+    tm.L[0].weight.data = torch.from_numpy(np.transpose(
+        np.asarray(p['l_conv1']['kernel']), (2, 1, 0)).copy())
+    copy_bn(p['l_bn'], s['l_bn'], tm.L[1])
+    tm.L[3].weight.data = torch.from_numpy(np.transpose(
+        np.asarray(p['l_conv2']['kernel']), (2, 1, 0)).copy())
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        out_t = tm(xt).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
+                               atol=1e-3)
