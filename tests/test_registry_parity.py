@@ -191,3 +191,37 @@ class TestNewDatasets:
         assert info['audio_path'].endswith('audio/vid_a.npy')
         assert info['filename'].endswith('videos/vid_a.mp4')
         assert info['total_frames'] == 16
+
+
+class TestModuleHooks:
+    """OutputHook (capture_intermediates-backed) + GPUNormalize
+    pre-forward hooks (reference core/hooks/output.py,
+    utils/module_hooks.py)."""
+
+    def test_output_hook_captures_named_layer(self):
+        from flax import linen as nn
+        from mscl_tpu.utils.module_hooks import OutputHook
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Dense(4, name='backbone')(x)
+                return nn.Dense(2, name='head')(x)
+
+        m = Tiny()
+        v = m.init(jax.random.PRNGKey(0), jnp.ones((3, 5)))
+        with OutputHook(m, v, outputs=['backbone', 'head']) as h:
+            out = h.apply(jnp.ones((3, 5)))
+        assert out.shape == (3, 2)
+        assert h.layer_outputs['backbone'].shape == (3, 4)
+        np.testing.assert_allclose(h.layer_outputs['head'], out,
+                                   rtol=1e-6)
+
+    def test_gpu_normalize_hook(self):
+        from mscl_tpu.utils.module_hooks import register_module_hooks
+        fn = register_module_hooks(
+            lambda x: x,
+            [dict(type='GPUNormalize', input_format='NCTHW',
+                  mean=[2., 2., 2.], std=[4., 4., 4.])])
+        y = fn(jnp.full((1, 3, 2, 4, 4), 6.0))
+        np.testing.assert_allclose(np.asarray(y), 1.0)
