@@ -397,3 +397,90 @@ def test_tam_matches_torch():
         out_t = tm(xt).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
                                atol=1e-3)
+
+
+class TorchBlockX3D(tnn.Module):
+    """X3D bottleneck (reference x3d.py BlockX3D): 1x1x1 expand ->
+    depthwise 3x3x3 -> SE -> swish -> 1x1x1 project, relu(out + res)."""
+
+    def __init__(self, cin, planes, outplanes, stride=1, se_red=4):
+        super().__init__()
+        self.conv1 = tnn.Conv3d(cin, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm3d(planes)
+        self.conv2 = tnn.Conv3d(planes, planes, 3,
+                                stride=(1, stride, stride), padding=1,
+                                groups=planes, bias=False)
+        self.bn2 = tnn.BatchNorm3d(planes)
+        self.se_fc1 = tnn.Conv3d(planes, se_red, 1)
+        self.se_fc2 = tnn.Conv3d(se_red, planes, 1)
+        self.conv3 = tnn.Conv3d(planes, outplanes, 1, bias=False)
+        self.bn3 = tnn.BatchNorm3d(outplanes)
+        self.downsample = None
+        if stride != 1 or cin != outplanes:
+            self.downsample = tnn.Sequential(
+                tnn.Conv3d(cin, outplanes, 1,
+                           stride=(1, stride, stride), bias=False),
+                tnn.BatchNorm3d(outplanes))
+
+    def forward(self, x):
+        res = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        s = y.mean(dim=(2, 3, 4), keepdim=True)
+        s = self.se_fc2(torch.relu(self.se_fc1(s)))
+        y = y * torch.sigmoid(s)
+        y = y * torch.sigmoid(y)            # swish
+        y = self.bn3(self.conv3(y))
+        return torch.relu(y + res)
+
+
+def test_x3d_block_matches_torch():
+    """Guards SE placement (inside the depthwise branch, before swish)
+    and the depthwise/expand channel plumbing of BlockX3D."""
+    from mscl_tpu.models.backbones.x3d import BlockX3D, _round_width
+    rng = np.random.default_rng(5)
+    cin, planes, outp = 8, 16, 8
+    block = BlockX3D(planes, outp, spatial_stride=2, downsample=True)
+    x = rng.normal(size=(2, 4, 8, 8, cin)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        v = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        rr = np.random.default_rng(6)
+
+        def randomize(stats):
+            return jax.tree.map(
+                lambda a: jnp.asarray(
+                    rr.uniform(0.5, 1.5, a.shape).astype(np.float32)),
+                stats)
+        v = {'params': v['params'],
+             'batch_stats': randomize(v['batch_stats'])}
+        out_jax = block.apply(v, jnp.asarray(x), train=False)
+
+    se_red = _round_width(planes, 0.0625)
+    tb = TorchBlockX3D(cin, planes, outp, 2, se_red).eval()
+    p = jax.device_get(v['params'])
+    s = jax.device_get(v['batch_stats'])
+
+    def setw(tmod, kern):
+        tmod.weight.data = torch.from_numpy(np.transpose(
+            np.asarray(kern), (4, 3, 0, 1, 2)).copy())
+
+    setw(tb.conv1, p['conv1']['kernel'])
+    copy_bn(p['bn1'], s['bn1'], tb.bn1)
+    setw(tb.conv2, p['conv2']['kernel'])
+    copy_bn(p['bn2'], s['bn2'], tb.bn2)
+    setw(tb.se_fc1, p['se']['fc1']['kernel'])
+    tb.se_fc1.bias.data = torch.from_numpy(
+        np.asarray(p['se']['fc1']['bias']).copy())
+    setw(tb.se_fc2, p['se']['fc2']['kernel'])
+    tb.se_fc2.bias.data = torch.from_numpy(
+        np.asarray(p['se']['fc2']['bias']).copy())
+    setw(tb.conv3, p['conv3']['kernel'])
+    copy_bn(p['bn3'], s['bn3'], tb.bn3)
+    setw(tb.downsample[0], p['downsample']['kernel'])
+    copy_bn(p['downsample_bn'], s['downsample_bn'], tb.downsample[1])
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        out_t = tb(xt).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
+                               atol=1e-3)
