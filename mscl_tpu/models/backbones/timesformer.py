@@ -47,7 +47,9 @@ class Mlp(nn.Module):
     def __call__(self, x):
         x = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name='fc1')(x)
-        x = nn.gelu(x)
+        # exact erf GELU (torch nn.GELU default; flax's
+        # default is the tanh approximation)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name='fc2')(x)
 
 

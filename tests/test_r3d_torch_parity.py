@@ -484,3 +484,101 @@ def test_x3d_block_matches_torch():
         out_t = tb(xt).permute(0, 2, 3, 4, 1).numpy()
     np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
                                atol=1e-3)
+
+
+class TorchMHSA(tnn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.h = heads
+        self.qkv = tnn.Linear(dim, 3 * dim)
+        self.proj = tnn.Linear(dim, dim)
+
+    def forward(self, x):
+        b, n, c = x.shape
+        h = self.h
+        qkv = self.qkv(x).view(b, n, 3, h, c // h)
+        q, k, v = [t.squeeze(2).permute(0, 2, 1, 3)
+                   for t in qkv.split(1, dim=2)]
+        attn = torch.softmax(
+            q @ k.transpose(-1, -2) / (c // h) ** 0.5, dim=-1)
+        out = (attn @ v).permute(0, 2, 1, 3).reshape(b, n, c)
+        return self.proj(out)
+
+
+class TorchDividedBlock(tnn.Module):
+    """TimeSformer divided space-time attention block (paper form:
+    temporal attn over same-patch tokens + temporal_fc, spatial attn
+    per frame with broadcast cls averaged back, then MLP)."""
+
+    def __init__(self, dim, heads, t):
+        super().__init__()
+        self.t = t
+        self.norm_t = tnn.LayerNorm(dim)
+        self.temporal_attn = TorchMHSA(dim, heads)
+        self.temporal_fc = tnn.Linear(dim, dim)
+        self.norm_s = tnn.LayerNorm(dim)
+        self.spatial_attn = TorchMHSA(dim, heads)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.fc1 = tnn.Linear(dim, dim * 4)
+        self.fc2 = tnn.Linear(dim * 4, dim)
+
+    def forward(self, x):
+        b, n, c = x.shape
+        t = self.t
+        p = (n - 1) // t
+        xt = x[:, 1:].view(b, t, p, c).permute(0, 2, 1, 3)
+        xt = xt.reshape(b * p, t, c)
+        xt = xt + self.temporal_fc(self.temporal_attn(self.norm_t(xt)))
+        xt = xt.view(b, p, t, c).permute(0, 2, 1, 3)
+        x = torch.cat([x[:, :1], xt.reshape(b, t * p, c)], dim=1)
+        cls = x[:, :1]
+        xs = x[:, 1:].reshape(b * t, p, c)
+        xs = torch.cat([cls.repeat_interleave(t, dim=0), xs], dim=1)
+        res = self.spatial_attn(self.norm_s(xs))
+        cls_out = res[:, 0].view(b, t, c).mean(dim=1, keepdim=True)
+        patch_out = res[:, 1:].reshape(b, t * p, c)
+        x = x + torch.cat([cls_out, patch_out], dim=1)
+        return x + self.fc2(torch.nn.functional.gelu(
+            self.fc1(self.norm2(x))))
+
+
+def test_timesformer_divided_block_matches_torch():
+    """Guards the b/t/p token reshapes, the cls broadcast/average and
+    the temporal_fc residual of divided space-time attention."""
+    from mscl_tpu.models.backbones.timesformer import DividedBlock
+    rng = np.random.default_rng(7)
+    dim, heads, t, p = 16, 4, 3, 4
+    block = DividedBlock(dim, heads, t)
+    x = rng.normal(size=(2, 1 + t * p, dim)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        v = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out_jax = block.apply(v, jnp.asarray(x))
+
+    tm = TorchDividedBlock(dim, heads, t).eval()
+    p_ = jax.device_get(v['params'])
+
+    def lin(tmod, d):
+        tmod.weight.data = torch.from_numpy(
+            np.asarray(d['kernel']).T.copy())
+        tmod.bias.data = torch.from_numpy(np.asarray(d['bias']).copy())
+
+    def ln(tmod, d):
+        tmod.weight.data = torch.from_numpy(
+            np.asarray(d['scale']).copy())
+        tmod.bias.data = torch.from_numpy(np.asarray(d['bias']).copy())
+
+    ln(tm.norm_t, p_['norm_t'])
+    lin(tm.temporal_attn.qkv, p_['temporal_attn']['qkv'])
+    lin(tm.temporal_attn.proj, p_['temporal_attn']['proj'])
+    lin(tm.temporal_fc, p_['temporal_fc'])
+    ln(tm.norm_s, p_['norm_s'])
+    lin(tm.spatial_attn.qkv, p_['spatial_attn']['qkv'])
+    lin(tm.spatial_attn.proj, p_['spatial_attn']['proj'])
+    ln(tm.norm2, p_['norm2'])
+    lin(tm.fc1, p_['mlp']['fc1'])
+    lin(tm.fc2, p_['mlp']['fc2'])
+
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-4,
+                               atol=1e-4)
