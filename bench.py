@@ -31,7 +31,7 @@ def main():
     parser.add_argument('--batch-size', type=int, default=32)
     parser.add_argument('--num-frames', type=int, default=8)
     parser.add_argument('--hw', type=int, default=112)
-    parser.add_argument('--steps', type=int, default=20)
+    parser.add_argument('--steps', type=int, default=100)
     parser.add_argument('--warmup', type=int, default=3)
     parser.add_argument('--dtype', default='bfloat16',
                         choices=['float32', 'bfloat16'])
