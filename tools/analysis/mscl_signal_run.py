@@ -23,11 +23,18 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit('/tools', 1)[0])
 
-os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +
-                           ' --xla_force_host_platform_device_count=8')
+# --platform tpu runs the full-scale variant on the real chip;
+# default is the 8-device CPU mesh (pre-import platform forcing)
+_PLATFORM = 'tpu' if '--platform=tpu' in sys.argv or \
+    ('--platform' in sys.argv and
+     sys.argv[sys.argv.index('--platform') + 1] == 'tpu') else 'cpu'
+if _PLATFORM == 'cpu':
+    os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +
+                               ' --xla_force_host_platform_device_count=8')
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
+if _PLATFORM == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -36,25 +43,29 @@ HW, FLOW_HW, T = 32, 16, 4
 
 def make_videos(n_per_class=16, seed=0):
     """Class = motion direction; returns clips, analytic flow, labels.
-    Flow is at half resolution (the MSCL storage convention)."""
+    Flow is at half resolution (the MSCL storage convention). The
+    square size / step scale with HW so the task difficulty is
+    comparable at 32x32 (tiny) and 112x112 (full-scale)."""
     rng = np.random.default_rng(seed)
-    dirs = [(2, 0), (-2, 0), (0, 2), (0, -2)]
+    sq = HW // 4
+    v = max(2, HW // 16)
+    dirs = [(v, 0), (-v, 0), (0, v), (0, -v)]
     clips, flows, labels = [], [], []
     for cls, (dx, dy) in enumerate(dirs):
         for _ in range(n_per_class):
-            x0 = int(rng.integers(8, HW - 16))
-            y0 = int(rng.integers(8, HW - 16))
+            x0 = int(rng.integers(sq, HW - 2 * sq))
+            y0 = int(rng.integers(sq, HW - 2 * sq))
             base = rng.uniform(0, 0.3, size=(HW, HW, 3))
             fr, fl = [], []
             for i in range(T):
                 f = base + rng.normal(scale=0.02, size=(HW, HW, 3))
-                xx = int(np.clip(x0 + dx * i, 0, HW - 8))
-                yy = int(np.clip(y0 + dy * i, 0, HW - 8))
-                f[yy:yy + 8, xx:xx + 8] += 0.6
+                xx = int(np.clip(x0 + dx * i, 0, HW - sq))
+                yy = int(np.clip(y0 + dy * i, 0, HW - sq))
+                f[yy:yy + sq, xx:xx + sq] += 0.6
                 fr.append(np.clip(f, 0, 1))
                 flow = np.zeros((FLOW_HW, FLOW_HW, 2), np.float32)
-                flow[yy // 2:(yy + 8) // 2,
-                     xx // 2:(xx + 8) // 2] = (dx, dy)
+                flow[yy // 2:(yy + sq) // 2,
+                     xx // 2:(xx + sq) // 2] = (dx, dy)
                 fl.append(flow)
             clips.append(np.stack(fr))
             flows.append(np.stack(fl))
@@ -72,9 +83,18 @@ def fra_rotate(flow, angle):
     return np.stack([c * u - s * v, s * u + c * v], axis=-1)
 
 
-def build_model(steps, batch):
+def build_model(steps, batch, full_scale=False):
     from mscl_tpu.models import BACKBONES, RECOGNIZERS
     from mscl_tpu.models.backbones.video_resnet import VideoResNet
+    if full_scale:
+        from __graft_entry__ import _mscl_cfg
+        from mscl_tpu.apis.train import build_model_from_cfg
+        cfg = _mscl_cfg(num_frames=T, K=8192, max_iters=steps * batch)
+        cfg['dtype'] = jnp.bfloat16
+        cfg['recognizer'] = dict(cfg['recognizer'], dtype=jnp.bfloat16)
+        cfg['recognizer_flow'] = dict(cfg['recognizer_flow'],
+                                      dtype=jnp.bfloat16)
+        return build_model_from_cfg(cfg)
     if 'sig.tiny3d' not in BACKBONES:
         BACKBONES.register_module(
             name='sig.tiny3d',
@@ -120,8 +140,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--steps', type=int, default=80)
     p.add_argument('--batch', type=int, default=16)
+    p.add_argument('--platform', default='cpu', choices=['cpu', 'tpu'])
+    p.add_argument('--full-scale', action='store_true',
+                   help='the r18 recipe model at 112x112 (use with '
+                        '--platform tpu)')
     p.add_argument('--out', default='work_dirs/mscl_signal.json')
     args = p.parse_args()
+    if args.full_scale:
+        global HW, FLOW_HW
+        HW, FLOW_HW = 112, 56
 
     from mscl_tpu.core import (build_lr_schedule, build_optimizer,
                                init_state, make_train_step)
@@ -151,7 +178,8 @@ def main():
             fimgs.append(np.transpose(fcat, (0, 4, 1, 2, 3)))
         return {'imgs': imgs, 'flow_imgs': fimgs}
 
-    model = build_model(args.steps, args.batch)
+    model = build_model(args.steps, args.batch,
+                        args.full_scale)
     lr = build_lr_schedule(dict(policy='CosineAnnealing', min_lr=0),
                            0.05, 1, args.steps)
     tx = build_optimizer(
