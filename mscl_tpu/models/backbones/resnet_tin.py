@@ -117,9 +117,12 @@ class TemporalInterlace(nn.Module):
         offset = jnp.concatenate([offset, -offset], axis=1)  # (N, 2G)
         xs = linear_sampler(jnp.moveaxis(xd, -1, 2), offset)  # (N,T,F,H,W)
 
-        # gate: (N, T, G) -> per-channel (N, T, F) by tiling the 2G
-        # mirrored groups over num_folds (reference :282-293)
-        gate = jnp.repeat(weight, 2, axis=2)             # (N, T, 2G)
+        # gate: (N, T, G) -> per-channel (N, T, F). The reference
+        # (:287-293) repeats the G gates as [g0, g1, g0, g1] over the
+        # four offset groups (+o0, +o1, -o0, -o1) — i.e. the mirrored
+        # -o shifts reuse the same gates — then spreads each over
+        # num_folds/4 channels.
+        gate = jnp.tile(weight, (1, 1, 2))               # (N, T, 2G)
         gate = jnp.repeat(gate, num_folds // (2 * self.deform_groups),
                           axis=2)                        # (N, T, F)
         xs = xs * gate[:, :, :, None, None]

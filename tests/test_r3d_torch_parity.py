@@ -582,3 +582,100 @@ def test_timesformer_divided_block_matches_torch():
         out_t = tm(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-4,
                                atol=1e-4)
+
+
+class TorchTemporalInterlace(tnn.Module):
+    """Reference resnet_tin.py TemporalInterlace forward re-implemented
+    in torch (tin_shift expressed with the same zero-padded gather
+    convention as ours; deform_groups=2 hard-coded like the
+    reference)."""
+
+    def __init__(self, c, t, shift_div=4):
+        super().__init__()
+        self.t, self.shift_div, self.g = t, shift_div, 2
+        nf = c // shift_div
+        self.off_conv = tnn.Conv1d(nf, 1, 3, padding=1)
+        self.off_fc1 = tnn.Linear(t, t)
+        self.off_fc2 = tnn.Linear(t, self.g)
+        self.w_conv = tnn.Conv1d(nf, self.g, 3, padding=1)
+
+    @staticmethod
+    def tin_shift(data, offset):
+        n, t, c, s = data.shape
+        g = offset.shape[1]
+        off_c = offset.repeat_interleave(c // g, dim=1)   # (N, C)
+        t_idx = torch.arange(t)[None, :, None]
+        src = t_idx - off_c[:, None, :]
+        valid = (src >= 0) & (src < t)
+        src = src.clamp(0, t - 1).long()
+        out = torch.gather(
+            data, 1, src[..., None].expand(n, t, c, s))
+        return out * valid[..., None]
+
+    def linear_sampler(self, data, offset):
+        n, t, c, h, w = data.shape
+        o0 = torch.floor(offset).int()
+        flat = data.reshape(n, t, c, h * w)
+        d0 = self.tin_shift(flat, o0)
+        d1 = self.tin_shift(flat, o0 + 1)
+        w0 = 1 - (offset - o0.float())
+        g = offset.shape[1]
+        w0 = w0[:, :, None].repeat(1, 1, c // g).view(n, c)
+        w0 = w0[:, None, :, None]
+        return (w0 * d0 + (1 - w0) * d1).view(n, t, c, h, w)
+
+    def forward(self, x):                       # (N*T, C, H, W)
+        nt, c, h, w = x.shape
+        t, n = self.t, nt // self.t
+        nf = c // self.shift_div
+        xd = x[:, :nf].view(n, t, nf, h, w)
+        pooled = xd.mean(dim=(3, 4)).permute(0, 2, 1)     # (N, nf, T)
+        off = self.off_conv(pooled).view(n, t)
+        off = self.off_fc2(torch.relu(self.off_fc1(off)))
+        off = 4 * (torch.sigmoid(off) - 0.5)              # (N, G)
+        wgt = 2 * torch.sigmoid(
+            self.w_conv(pooled).permute(0, 2, 1))         # (N, T, G)
+        off = torch.cat([off, -off], dim=1)               # (N, 2G)
+        xs = self.linear_sampler(xd, off)
+        wgt = wgt[:, :, :, None].repeat(1, 1, 2, nf // 4)
+        wgt = wgt.view(n, t, nf)[:, :, :, None, None]
+        xs = (xs * wgt).reshape(nt, nf, h, w)
+        return torch.cat([xs, x[:, nf:]], dim=1)
+
+
+def test_temporal_interlace_matches_torch():
+    """Guards the TIN interlace wiring: offset/weight net plumbing, the
+    mirrored +/-offset groups, the reference's [g0,g1,g0,g1] gate
+    tiling, and the fractional linear sampler."""
+    from mscl_tpu.models.backbones.resnet_tin import TemporalInterlace
+    rng = np.random.default_rng(8)
+    t, c = 4, 16
+    mod = TemporalInterlace(num_segments=t, shift_div=4)
+    x = rng.normal(size=(2 * t, 5, 5, c)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        v = mod.init(jax.random.PRNGKey(3), jnp.asarray(x))
+        out_jax = mod.apply(v, jnp.asarray(x))
+
+    tm = TorchTemporalInterlace(c, t).eval()
+    p = jax.device_get(v['params'])
+
+    def conv1d(tmod, d):
+        tmod.weight.data = torch.from_numpy(np.transpose(
+            np.asarray(d['kernel']), (2, 1, 0)).copy())
+        tmod.bias.data = torch.from_numpy(np.asarray(d['bias']).copy())
+
+    def lin(tmod, d):
+        tmod.weight.data = torch.from_numpy(
+            np.asarray(d['kernel']).T.copy())
+        tmod.bias.data = torch.from_numpy(np.asarray(d['bias']).copy())
+
+    conv1d(tm.off_conv, p['offset_net']['conv'])
+    lin(tm.off_fc1, p['offset_net']['fc1'])
+    lin(tm.off_fc2, p['offset_net']['fc2'])
+    conv1d(tm.w_conv, p['weight_net']['conv'])
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        out_t = tm(xt).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-4,
+                               atol=1e-4)
