@@ -679,3 +679,158 @@ def test_temporal_interlace_matches_torch():
         out_t = tm(xt).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-4,
                                atol=1e-4)
+
+
+class TorchPConv3D(tnn.Module):
+    """Reference sepc.py PConv3D (flagship MSCL RGB-tower neck)."""
+
+    def __init__(self, cin, cout, stride=(2, 1, 1), ibn=False):
+        super().__init__()
+        self.ibn = ibn
+        self.convs = tnn.ModuleList([
+            tnn.Conv3d(cin, cout, 3, padding=1),
+            tnn.Conv3d(cin, cout, 3, padding=1),
+            tnn.Conv3d(cin, cout, 3, padding=1, stride=stride),
+        ])
+        if ibn:
+            self.bn = tnn.BatchNorm1d(cout)
+
+    def forward(self, x):
+        next_x = []
+        for level, feature in enumerate(x):
+            temp = self.convs[1](feature)
+            if level > 0:
+                temp = temp + self.convs[2](x[level - 1])
+            if level < len(x) - 1:
+                temp = temp + torch.nn.functional.interpolate(
+                    self.convs[0](x[level + 1]),
+                    size=temp.shape[2:], mode='trilinear')
+            next_x.append(temp)
+        if self.ibn:
+            n, c = next_x[0].shape[:2]
+            sizes = [p.shape[2:] for p in next_x]
+            flat = torch.cat([p.reshape(n, c, -1) for p in next_x],
+                             dim=-1)
+            flat = self.bn(flat)
+            splits = torch.split(
+                flat, [s[0] * s[1] * s[2] for s in sizes], dim=-1)
+            next_x = [p.reshape(n, c, *s)
+                      for p, s in zip(splits, sizes)]
+        return [torch.relu(p) for p in next_x]
+
+
+@pytest.mark.parametrize('ibn', [False, True])
+def test_sepc_pconv_matches_torch(ibn):
+    """Flagship-path guard: PConv3D cross-level fusion (strided finer
+    tap + trilinear-upsampled coarser tap) and the integrated BN."""
+    from mscl_tpu.models.necks.sepc import PConv3D
+    rng = np.random.default_rng(9)
+    cin = cout = 8
+    levels = [(4, 8, 8), (2, 4, 4), (1, 2, 2)]
+    xs = [rng.normal(size=(2,) + s + (cin,)).astype(np.float32)
+          for s in levels]
+    block = PConv3D(cout, (2, 2, 2), iBN=ibn)
+    with jax.default_matmul_precision('highest'):
+        v = block.init(jax.random.PRNGKey(0),
+                       [jnp.asarray(x) for x in xs])
+        out_jax = block.apply(v, [jnp.asarray(x) for x in xs],
+                              train=False)
+
+    tm = TorchPConv3D(cin, cout, (2, 2, 2), ibn).eval()
+    p = jax.device_get(v['params'])
+    for j in range(3):
+        d = p[f'pconv{j}']
+        tm.convs[j].weight.data = torch.from_numpy(np.transpose(
+            np.asarray(d['kernel']), (4, 3, 0, 1, 2)).copy())
+        tm.convs[j].bias.data = torch.from_numpy(
+            np.asarray(d['bias']).copy())
+    if ibn:
+        s = jax.device_get(v['batch_stats'])
+        copy_bn(p['ibn'], s['ibn'], tm.bn)
+
+    with torch.no_grad():
+        outs_t = tm([torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+                     for x in xs])
+    for oj, ot in zip(out_jax, outs_t):
+        np.testing.assert_allclose(
+            np.asarray(oj), ot.permute(0, 2, 3, 4, 1).numpy(),
+            rtol=1e-3, atol=1e-3)
+
+
+class TorchFPN3D(tnn.Module):
+    """mmdet-style 3D FPN (reference necks/fpn.py: lateral 1x1x1 convs,
+    nearest top-down sum, (1,3,3) fpn convs)."""
+
+    def __init__(self, cins, cout):
+        super().__init__()
+        self.lats = tnn.ModuleList(
+            [tnn.Conv3d(c, cout, 1) for c in cins])
+        self.fpns = tnn.ModuleList(
+            [tnn.Conv3d(cout, cout, (1, 3, 3), padding=(0, 1, 1))
+             for _ in cins])
+
+    def forward(self, xs):
+        lats = [lat(x) for lat, x in zip(self.lats, xs)]
+        for i in range(len(lats) - 1, 0, -1):
+            lats[i - 1] = lats[i - 1] + torch.nn.functional.interpolate(
+                lats[i], size=lats[i - 1].shape[2:], mode='nearest')
+        return [f(l) for f, l in zip(self.fpns, lats)]
+
+
+def test_fpn3d_matches_torch():
+    """Flagship-path guard: lateral/topdown/fpn-conv wiring and the
+    torch-nearest upsample rule at non-integer scale factors."""
+    from mscl_tpu.models.necks.fpn import FPN
+    rng = np.random.default_rng(10)
+    cins = [8, 12, 16]
+    # non-integer scale factors between levels on purpose (5->3->1 T)
+    shapes = [(5, 8, 8), (3, 4, 4), (1, 2, 2)]
+    xs = [rng.normal(size=(2,) + s + (c,)).astype(np.float32)
+          for s, c in zip(shapes, cins)]
+    fpn = FPN(in_channels=cins, out_channels=8, num_outs=3)
+    with jax.default_matmul_precision('highest'):
+        v = fpn.init(jax.random.PRNGKey(0),
+                     [jnp.asarray(x) for x in xs])
+        out_jax = fpn.apply(v, [jnp.asarray(x) for x in xs])
+
+    tm = TorchFPN3D(cins, 8).eval()
+    p = jax.device_get(v['params'])
+    for i in range(3):
+        for tmod, d in ((tm.lats[i], p[f'lateral_{i}']),
+                        (tm.fpns[i], p[f'fpn_{i}'])):
+            tmod.weight.data = torch.from_numpy(np.transpose(
+                np.asarray(d['kernel']), (4, 3, 0, 1, 2)).copy())
+            tmod.bias.data = torch.from_numpy(
+                np.asarray(d['bias']).copy())
+    with torch.no_grad():
+        outs_t = tm([torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+                     for x in xs])
+    for oj, ot in zip(out_jax, outs_t):
+        np.testing.assert_allclose(
+            np.asarray(oj), ot.permute(0, 2, 3, 4, 1).numpy(),
+            rtol=1e-4, atol=1e-4)
+
+
+def test_temporal_modulation_matches_torch():
+    """Grouped temporal conv + ceil-mode temporal maxpool (reference
+    fpn_video.py TemporalModulation)."""
+    from mscl_tpu.models.necks.fpn_video import TemporalModulation
+    rng = np.random.default_rng(11)
+    c = 64
+    x = rng.normal(size=(2, 7, 4, 4, c)).astype(np.float32)  # T=7, s=2
+    tmod = TemporalModulation(out_channels=c, downsample_scale=2)
+    with jax.default_matmul_precision('highest'):
+        v = tmod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out_jax = tmod.apply(v, jnp.asarray(x))
+
+    conv = tnn.Conv3d(c, c, (3, 1, 1), padding=(1, 0, 0), bias=False,
+                      groups=32)
+    conv.weight.data = torch.from_numpy(np.transpose(
+        np.asarray(jax.device_get(v['params']['conv']['kernel'])),
+        (4, 3, 0, 1, 2)).copy())
+    pool = tnn.MaxPool3d((2, 1, 1), (2, 1, 1), ceil_mode=True)
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        out_t = pool(conv(xt)).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-4,
+                               atol=1e-4)
