@@ -159,6 +159,9 @@ class ResNet3d(nn.Module):
     conv_cfg: Any = None
     norm_cfg: Any = None
     act_cfg: Any = None
+    # also return the post-pool1 stem features (the SlowFast fast
+    # pathway exposes them for the conv1_lateral fusion)
+    return_stem: bool = False
     dtype: Any = jnp.float32
 
     def _stage_inflations(self):
@@ -188,6 +191,7 @@ class ResNet3d(nn.Module):
             x = _max_pool3d(x, (1, 3, 3),
                             (self.pool1_stride_t, self.pool1_stride_s,
                              self.pool1_stride_s), (0, 1, 1))
+        stem_feat = x
 
         outs = []
         in_planes = self.base_channels
@@ -217,6 +221,8 @@ class ResNet3d(nn.Module):
                 x = _max_pool3d(x, (2, 1, 1), (2, 1, 1), (0, 0, 0))
             outs.append(x)
         outs = [outs[i] for i in self.out_indices]
+        if self.return_stem:
+            return stem_feat, outs
         if len(outs) == 1:
             return outs[0]
         return outs
@@ -268,24 +274,24 @@ class ResNet3dSlowFast(nn.Module):
         x_fast = x[:, ::max(self.resample_rate // self.speed_ratio, 1)]
 
         fast = ResNet3dSlowOnly(dtype=self.dtype, name='fast_path',
-                                **fast_cfg)
-        fast_outs = fast(x_fast, train=train)
+                                return_stem=True, **fast_cfg)
+        stem_fast, fast_outs = fast(x_fast, train=train)
 
         laterals = [None, None, None, None]
         if lateral:
-            fuse_dims = [fast_cfg.get('base_channels', 8) * m
-                         for m in (1, 4, 8, 16)]
-            # lateral convs on fast stem/stage outputs, time-strided to
-            # the slow frame rate
+            # reference resnet3d_slowfast.py:507-521: FOUR fusion
+            # points — fast's post-pool stem output before slow layer1
+            # (conv1_lateral) and fast layer1..3 outputs before slow
+            # layer2..4; each lateral is a (5,1,1)/stride-(alpha,1,1)
+            # bias-free conv to 2x its input channels
             alpha = self.speed_ratio
-            for i in range(3):
-                src = fast_outs[i]
-                lat = nn.Conv(
-                    fuse_dims[i] * 2, (5, 1, 1),
+            srcs = [stem_fast, fast_outs[0], fast_outs[1], fast_outs[2]]
+            for i, src in enumerate(srcs):
+                laterals[i] = nn.Conv(
+                    src.shape[-1] * 2, (5, 1, 1),
                     strides=(alpha, 1, 1),
                     padding=[(2, 2), (0, 0), (0, 0)], use_bias=False,
                     dtype=self.dtype, name=f'lateral_{i}')(src)
-                laterals[i + 1] = lat
 
         slow = ResNet3dSlowOnly(dtype=self.dtype, name='slow_path',
                                 **slow_cfg)

@@ -834,3 +834,101 @@ def test_temporal_modulation_matches_torch():
         out_t = pool(conv(xt)).permute(0, 2, 3, 4, 1).numpy()
     np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_s3d_inception_matches_torch():
+    """S3D inception block: 4 branches with separable (1,k,k)+(k,1,1)
+    convs (BN+ReLU between the halves) and a pooled 1x1x1 branch."""
+    from mscl_tpu.models.backbones.s3d import InceptionS3D
+    rng = np.random.default_rng(12)
+    cin = 12
+    cfg = (4, 6, 8, 3, 5, 7)
+    block = InceptionS3D(cfg)
+    x = rng.normal(size=(2, 4, 8, 8, cin)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        v = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        rr = np.random.default_rng(13)
+        v = {'params': v['params'],
+             'batch_stats': jax.tree.map(
+                 lambda a: jnp.asarray(rr.uniform(
+                     0.5, 1.5, a.shape).astype(np.float32)),
+                 v['batch_stats'])}
+        out_jax = block.apply(v, jnp.asarray(x), train=False)
+
+    c1, m3, c3, md3, cd3, cp = cfg
+
+    def convbn(cin_, cout, k, pad):
+        return tnn.Sequential(
+            tnn.Conv3d(cin_, cout, k, padding=pad, bias=False),
+            tnn.BatchNorm3d(cout), tnn.ReLU())
+
+    class TorchInception(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.b0 = convbn(cin, c1, 1, 0)
+            self.b1r = convbn(cin, m3, 1, 0)
+            self.b1s = convbn(m3, c3, (1, 3, 3), (0, 1, 1))
+            self.b1t = convbn(c3, c3, (3, 1, 1), (1, 0, 0))
+            self.b2r = convbn(cin, md3, 1, 0)
+            self.b2s = convbn(md3, cd3, (1, 3, 3), (0, 1, 1))
+            self.b2t = convbn(cd3, cd3, (3, 1, 1), (1, 0, 0))
+            self.pool = tnn.MaxPool3d(3, 1, 1)
+            self.b3 = convbn(cin, cp, 1, 0)
+
+        def forward(self, x):
+            return torch.cat([
+                self.b0(x),
+                self.b1t(self.b1s(self.b1r(x))),
+                self.b2t(self.b2s(self.b2r(x))),
+                self.b3(self.pool(x))], dim=1)
+
+    tmod = TorchInception().eval()
+    p = jax.device_get(v['params'])
+    s = jax.device_get(v['batch_stats'])
+    pairs = [
+        (tmod.b0, 'b0'), (tmod.b1r, 'b1_reduce'), (tmod.b2r,
+                                                   'b2_reduce'),
+        (tmod.b3, 'b3'),
+    ]
+    for tm_, name in pairs:
+        copy_convbn(p[name], s[name], tm_[0], tm_[1])
+    for tm_, name, sub in ((tmod.b1s, 'b1', 'conv_s'),
+                           (tmod.b1t, 'b1', 'conv_t'),
+                           (tmod.b2s, 'b2', 'conv_s'),
+                           (tmod.b2t, 'b2', 'conv_t')):
+        copy_convbn(p[name][sub], s[name][sub], tm_[0], tm_[1])
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        out_t = tmod(xt).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_slowfast_lateral_wiring():
+    """Reference resnet3d_slowfast.py:507-521: four lateral fusion
+    points (stem + layers 1-3), each a (5,1,1)/stride-alpha bias-free
+    conv doubling its input channels, concatenated into the slow path."""
+    from mscl_tpu.models.builder import build_backbone
+    m = build_backbone(dict(
+        type='ResNet3dSlowFast', resample_rate=4, speed_ratio=4,
+        channel_ratio=8,
+        slow_pathway=dict(depth=50, lateral=True,
+                          conv1_kernel=(1, 7, 7),
+                          inflate=(0, 0, 1, 1)),
+        fast_pathway=dict(depth=50, lateral=False, base_channels=8,
+                          conv1_kernel=(5, 7, 7), conv1_stride_t=1,
+                          pool1_stride_t=1)))
+    x = jnp.zeros((1, 16, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    p = v['params']
+    # four laterals with 2x-input output widths: stem 8->16,
+    # layer1 32->64, layer2 64->128, layer3 128->256
+    for i, (cin, cout) in enumerate([(8, 16), (32, 64), (64, 128),
+                                     (128, 256)]):
+        k = p[f'lateral_{i}']['kernel']
+        assert k.shape == (5, 1, 1, cin, cout), (i, k.shape)
+    # slow layer1 input = 64 (stem) + 16 (lateral) channels
+    k1 = p['slow_path']['layer1_0']['conv1']['conv']['kernel']
+    assert k1.shape[-2] == 80, k1.shape
+    slow, fast = m.apply(v, x, mutable=['batch_stats'])[0]
+    assert slow.shape[1] * 4 == fast.shape[1]     # speed ratio
