@@ -932,3 +932,120 @@ def test_slowfast_lateral_wiring():
     assert k1.shape[-2] == 80, k1.shape
     slow, fast = m.apply(v, x, mutable=['batch_stats'])[0]
     assert slow.shape[1] * 4 == fast.shape[1]     # speed ratio
+
+
+@pytest.mark.parametrize('inflate,style', [
+    (True, '3x1x1'), (True, '3x3x3'), (False, '3x1x1')])
+def test_bottleneck3d_matches_torch(inflate, style):
+    """SlowOnly/mscl_r50/AVA path guard: Bottleneck3d kernel/padding/
+    stride placement per inflate style ('pytorch' mode: stride on
+    conv2) — reference resnet3d.py:228-280."""
+    from mscl_tpu.models.backbones.resnet3d import Bottleneck3d
+    rng = np.random.default_rng(14)
+    planes, cin = 4, 8
+    block = Bottleneck3d(planes, spatial_stride=2, temporal_stride=2,
+                         inflate=inflate, inflate_style=style,
+                         downsample=True)
+    x = rng.normal(size=(2, 4, 8, 8, cin)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        v = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out_jax = block.apply(v, jnp.asarray(x), train=False)
+
+    if inflate and style == '3x1x1':
+        k1, p1, k2, p2 = (3, 1, 1), (1, 0, 0), (1, 3, 3), (0, 1, 1)
+    elif inflate:
+        k1, p1, k2, p2 = (1, 1, 1), (0, 0, 0), (3, 3, 3), (1, 1, 1)
+    else:
+        k1, p1, k2, p2 = (1, 1, 1), (0, 0, 0), (1, 3, 3), (0, 1, 1)
+
+    class TorchBottleneck(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Sequential(
+                tnn.Conv3d(cin, planes, k1, padding=p1, bias=False),
+                tnn.BatchNorm3d(planes), tnn.ReLU())
+            self.conv2 = tnn.Sequential(
+                tnn.Conv3d(planes, planes, k2, stride=(2, 2, 2),
+                           padding=p2, bias=False),
+                tnn.BatchNorm3d(planes), tnn.ReLU())
+            self.conv3 = tnn.Sequential(
+                tnn.Conv3d(planes, planes * 4, 1, bias=False),
+                tnn.BatchNorm3d(planes * 4))
+            self.downsample = tnn.Sequential(
+                tnn.Conv3d(cin, planes * 4, 1, stride=(2, 2, 2),
+                           bias=False),
+                tnn.BatchNorm3d(planes * 4))
+
+        def forward(self, x):
+            out = self.conv3(self.conv2(self.conv1(x)))
+            return torch.relu(out + self.downsample(x))
+
+    tm = TorchBottleneck().eval()
+    p = jax.device_get(v['params'])
+    s = jax.device_get(v['batch_stats'])
+    copy_convbn(p['conv1'], s['conv1'], tm.conv1[0], tm.conv1[1])
+    tm.conv2[0].weight.data = torch.from_numpy(np.transpose(
+        np.asarray(p['conv2_conv']['kernel']), (4, 3, 0, 1, 2)).copy())
+    copy_bn(p['conv2_bn'], s['conv2_bn'], tm.conv2[1])
+    copy_convbn(p['conv3'], s['conv3'], tm.conv3[0], tm.conv3[1])
+    copy_convbn(p['downsample'], s['downsample'], tm.downsample[0],
+                tm.downsample[1])
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        out_t = tm(xt).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_mobilenetv2_inverted_residual_matches_torch():
+    """Inverted residual: expand 1x1 -> depthwise 3x3 -> project 1x1
+    with ReLU6 and the stride-1/same-channels residual rule."""
+    from mscl_tpu.models.backbones.mobilenet_v2 import InvertedResidual
+    rng = np.random.default_rng(15)
+    cin = cout = 8
+    block = InvertedResidual(cout, stride=1, expand_ratio=6)
+    x = rng.normal(size=(2, 8, 8, cin)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        v = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out_jax = block.apply(v, jnp.asarray(x), train=False)
+
+    hidden = cin * 6
+
+    class TorchIR(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.expand = tnn.Sequential(
+                tnn.Conv2d(cin, hidden, 1, bias=False),
+                tnn.BatchNorm2d(hidden), tnn.ReLU6())
+            self.dw = tnn.Sequential(
+                tnn.Conv2d(hidden, hidden, 3, padding=1, groups=hidden,
+                           bias=False),
+                tnn.BatchNorm2d(hidden), tnn.ReLU6())
+            self.proj = tnn.Sequential(
+                tnn.Conv2d(hidden, cout, 1, bias=False),
+                tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            return x + self.proj(self.dw(self.expand(x)))
+
+    tm = TorchIR().eval()
+    p = jax.device_get(v['params'])
+    s = jax.device_get(v['batch_stats'])
+
+    def copy2d(cname, tconv, tbn, pkey, bnkey=None):
+        d = p[pkey]
+        kern = d['conv']['kernel'] if 'conv' in d else d['kernel']
+        tconv.weight.data = torch.from_numpy(np.transpose(
+            np.asarray(kern), (3, 2, 0, 1)).copy())
+        bnp = d['bn'] if 'bn' in d else p[bnkey]
+        bns = s[pkey]['bn'] if 'conv' in d else s[bnkey]
+        copy_bn(bnp, bns, tbn)
+
+    copy2d('expand', tm.expand[0], tm.expand[1], 'expand')
+    copy2d('depthwise', tm.dw[0], tm.dw[1], 'depthwise')
+    copy2d('project', tm.proj[0], tm.proj[1], 'project', 'project_bn')
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        out_t = tm(xt).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
+                               atol=1e-3)
