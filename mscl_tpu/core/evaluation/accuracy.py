@@ -126,3 +126,33 @@ def mmit_mean_average_precision(scores, labels):
         ap = -np.sum(np.diff(recall) * np.array(precision)[:-1])
         results.append(ap)
     return np.mean(results)
+
+
+def top_k_classes(scores, labels, k=10, mode='accurate'):
+    """Most/least accurate K classes as (label_id, acc_ratio) pairs
+    (reference accuracy.py:91-127)."""
+    assert mode in ('accurate', 'inaccurate')
+    pred = np.argmax(scores, axis=1)
+    cf_mat = confusion_matrix(pred, labels).astype(float)
+    cls_cnt = cf_mat.sum(axis=1)
+    cls_hit = np.diag(cf_mat)
+    hit_ratio = np.array([h / c if c else 0.0
+                          for c, h in zip(cls_cnt, cls_hit)])
+    if mode == 'accurate':
+        idx = np.argsort(hit_ratio)[-k:][::-1]
+    else:
+        idx = np.argsort(hit_ratio)[:k]
+    return list(zip(idx, hit_ratio[idx]))
+
+
+def get_weighted_score(score_list, coeff_list):
+    """Coefficient-weighted fusion of per-classifier score lists
+    (reference accuracy.py:429-455)."""
+    assert len(score_list) == len(coeff_list)
+    num_samples = len(score_list[0])
+    assert all(len(s) == num_samples for s in score_list)
+    return [
+        sum(np.array(score_list[i][n]) * coeff_list[i]
+            for i in range(len(score_list)))
+        for n in range(num_samples)
+    ]

@@ -225,3 +225,26 @@ class TestModuleHooks:
                   mean=[2., 2., 2.], std=[4., 4., 4.])])
         y = fn(jnp.full((1, 3, 2, 4, 4), 6.0))
         np.testing.assert_allclose(np.asarray(y), 1.0)
+
+
+class TestMetricUtils:
+    """Small reference metric utilities (accuracy.py:91-127, 429-455)."""
+
+    def test_top_k_classes(self):
+        from mscl_tpu.core.evaluation import top_k_classes
+        scores = np.array([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4],
+                           [0.3, 0.7]])
+        labels = np.array([0, 1, 1, 1])
+        top = top_k_classes(scores, labels, k=2)
+        assert top[0] == (0, 1.0)
+        assert top[1][0] == 1 and abs(top[1][1] - 2 / 3) < 1e-9
+        worst = top_k_classes(scores, labels, k=1, mode='inaccurate')
+        assert worst[0][0] == 1
+
+    def test_get_weighted_score(self):
+        from mscl_tpu.core.evaluation import get_weighted_score
+        s1 = [np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+        s2 = [np.array([0.0, 2.0]), np.array([2.0, 0.0])]
+        out = get_weighted_score([s1, s2], [1.0, 0.5])
+        np.testing.assert_allclose(out[0], [1.0, 1.0])
+        np.testing.assert_allclose(out[1], [1.0, 1.0])
