@@ -1,0 +1,54 @@
+# TSN r50 on ucf101 split 1 (parity: reference configs/recognition/tsn/
+# tsn_r50_1x1x3_75e_ucf101_rgb.py).
+_base_ = ['../../_base_/models/tsn_r50.py',
+          '../../_base_/default_runtime.py']
+
+model = dict(cls_head=dict(num_classes=101))
+dataset_type = 'RawframeDataset'
+data_root = 'data/ucf101/rawframes'
+ann_file_train = 'data/ucf101/ucf101_train_split_1_rawframes.txt'
+ann_file_val = 'data/ucf101/ucf101_val_split_1_rawframes.txt'
+
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_bgr=False)
+train_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=3),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="MultiScaleCrop", input_size=224,
+         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
+         max_wh_scale_gap=1),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+    dict(type="Collect", keys=["imgs", "label"], meta_keys=[]),
+    dict(type="ToTensor", keys=["imgs", "label"]),
+]
+val_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=3,
+         test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+    dict(type="Collect", keys=["imgs", "label"], meta_keys=[]),
+    dict(type="ToTensor", keys=["imgs", "label"]),
+]
+data = dict(
+    videos_per_gpu=32, workers_per_gpu=4,
+    train=dict(type=dataset_type, ann_file=ann_file_train,
+               data_prefix=data_root, pipeline=train_pipeline),
+    val=dict(type=dataset_type, ann_file=ann_file_val,
+             data_prefix=data_root, pipeline=val_pipeline),
+    test=dict(type=dataset_type, ann_file=ann_file_val,
+              data_prefix=data_root, pipeline=val_pipeline))
+evaluation = dict(interval=5,
+                  metrics=['top_k_accuracy', 'mean_class_accuracy'])
+optimizer = dict(type='SGD', lr=0.00128, momentum=0.9,
+                 weight_decay=5e-4)
+optimizer_config = dict(grad_clip=dict(max_norm=40, norm_type=2))
+lr_config = dict(policy='step', step=[25, 50])
+total_epochs = 75
+work_dir = './work_dirs/tsn_r50_1x1x3_75e_ucf101_rgb'
