@@ -1049,3 +1049,47 @@ def test_mobilenetv2_inverted_residual_matches_torch():
         out_t = tm(xt).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-3,
                                atol=1e-3)
+
+
+@pytest.mark.parametrize('op', ['concat', 'sum'])
+def test_conv_audio_matches_torch(op):
+    """Factorized (k,1)+(1,k) audio conv pair, per-branch BN+ReLU
+    (reference common/conv_audio.py)."""
+    from mscl_tpu.models.backbones.resnet_audio import ConvAudio
+    rng = np.random.default_rng(16)
+    cin, cout = 6, 8
+    block = ConvAudio(cout, 3, stride=2, op=op)
+    x = rng.normal(size=(2, 9, 9, cin)).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        v = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out_jax = block.apply(v, jnp.asarray(x), train=False)
+
+    class TorchConvAudio(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = tnn.Sequential(
+                tnn.Conv2d(cin, cout, (3, 1), stride=2,
+                           padding=(1, 0), bias=False),
+                tnn.BatchNorm2d(cout), tnn.ReLU())
+            self.c2 = tnn.Sequential(
+                tnn.Conv2d(cin, cout, (1, 3), stride=2,
+                           padding=(0, 1), bias=False),
+                tnn.BatchNorm2d(cout), tnn.ReLU())
+
+        def forward(self, x):
+            a, b = self.c1(x), self.c2(x)
+            return torch.cat([a, b], 1) if op == 'concat' else a + b
+
+    tm = TorchConvAudio().eval()
+    p = jax.device_get(v['params'])
+    s = jax.device_get(v['batch_stats'])
+    for tmod, name in ((tm.c1, 'conv_1'), (tm.c2, 'conv_2')):
+        tmod[0].weight.data = torch.from_numpy(np.transpose(
+            np.asarray(p[f'{name}_conv']['kernel']),
+            (3, 2, 0, 1)).copy())
+        copy_bn(p[f'{name}_bn'], s[f'{name}_bn'], tmod[1])
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        out_t = tm(xt).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-4,
+                               atol=1e-4)
