@@ -24,12 +24,14 @@ class _ConvBnRelu3d(nn.Module):
     kernel: Tuple[int, int, int] = (1, 1, 1)
     stride: Tuple[int, int, int] = (1, 1, 1)
     padding: Tuple[int, int, int] = (0, 0, 0)
+    groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
                     padding=[(p, p) for p in self.padding],
+                    feature_group_count=self.groups,
                     use_bias=False, kernel_init=xavier_uniform,
                     dtype=self.dtype, name='conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -48,7 +50,9 @@ class LevelFusion(nn.Module):
     def __call__(self, inputs, train: bool = False):
         outs = []
         for i, x in enumerate(inputs):
-            outs.append(_ConvBnRelu3d(self.mid_channels[i],
+            # reference LevelFusion DownSample: grouped (32) 1x1x1
+            # conv-BN-ReLU, maxpool scale (1,1,1) = identity
+            outs.append(_ConvBnRelu3d(self.mid_channels[i], groups=32,
                                       dtype=self.dtype,
                                       name=f'downsample_{i}')(x, train))
         x = jnp.concatenate(outs, axis=-1)
@@ -114,9 +118,15 @@ class TPN(nn.Module):
             (self.out_channels,) * num, self.out_channels * 2,
             dtype=self.dtype, name='level_fusion_td')(pyramid, train)
 
-        # bottom-up flow (downsample finer T into coarser)
+        # bottom-up flow: reference DownSample = learnable (3,1,1)
+        # conv ('conv-pool' order, downsample_position='after') then a
+        # temporal maxpool at the rate difference
         for i in range(0, num - 1):
-            down = pyramid[i]
+            down = nn.Conv(self.out_channels, (3, 1, 1),
+                           padding=[(1, 1), (0, 0), (0, 0)],
+                           use_bias=False, kernel_init=xavier_uniform,
+                           dtype=self.dtype,
+                           name=f'downsample_op_{i}')(pyramid[i])
             rate = pyramid[i + 1].shape[1] and down.shape[1] // \
                 pyramid[i + 1].shape[1]
             if rate and rate > 1:
@@ -135,12 +145,23 @@ class TPN(nn.Module):
         if self.aux_head_cfg is not None and labels is not None:
             cfg = dict(self.aux_head_cfg)
             weight = cfg.get('loss_weight', 0.5)
-            feat = x[-2].mean(axis=(1, 2, 3))
+            # reference AuxHead: (1,3,3)/s(1,2,2) conv to 2x channels +
+            # BN before pooling (tpn.py:198-258)
+            feat = nn.Conv(x[-2].shape[-1] * 2, (1, 3, 3),
+                           strides=(1, 2, 2),
+                           padding=[(0, 0), (1, 1), (1, 1)],
+                           use_bias=False, kernel_init=xavier_uniform,
+                           dtype=self.dtype, name='aux_conv')(x[-2])
+            feat = nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=self.dtype, name='aux_bn')(feat)
+            feat = feat.mean(axis=(1, 2, 3))
             feat = nn.Dropout(rate=0.5, deterministic=not train)(feat)
             score = nn.Dense(cfg.get('num_classes', 400),
                              kernel_init=nn.initializers.normal(0.01),
                              dtype=self.dtype, name='aux_fc')(feat)
-            loss_fn = build_loss(dict(type='CrossEntropyLoss'))
+            loss_fn = build_loss(dict(
+                cfg.get('loss_cls') or dict(type='CrossEntropyLoss')))
             aux_losses['loss_aux'] = weight * loss_fn(
                 score, labels.reshape(-1))
         return out, aux_losses
