@@ -53,18 +53,20 @@ def _pool_worker_main(dataset, task_q, result_q, seed, worker_id):
     """Decode-worker loop (forked process). Reseeds numpy/python RNGs per
     worker like the reference's worker_init_fn (datasets/builder.py
     worker seeding) so stochastic transforms decorrelate across workers.
-    Workers run only numpy/cv2 pipeline code — never JAX."""
+    Workers run only numpy/cv2 pipeline code — never JAX. Tasks carry a
+    generation id so results from an abandoned epoch can never be
+    mistaken for the next epoch's batches."""
     np.random.seed((seed + worker_id) % (2 ** 32))
     random.seed(seed + worker_id)
     while True:
         task = task_q.get()
         if task is None:
             return
-        bid, inds = task
+        gen, bid, inds = task
         try:
-            result_q.put((bid, [dataset[int(i)] for i in inds]))
+            result_q.put((gen, bid, [dataset[int(i)] for i in inds]))
         except BaseException as e:  # surface to the consumer
-            result_q.put((bid, RuntimeError(
+            result_q.put((gen, bid, RuntimeError(
                 f'decode worker {worker_id} failed on batch {bid}: '
                 f'{type(e).__name__}: {e}')))
 
@@ -78,6 +80,7 @@ class _ProcessPool:
         ctx = multiprocessing.get_context('fork')
         self.task_q = ctx.Queue()
         self.result_q = ctx.Queue()
+        self.generation = 0
         self.workers = []
         for wid in range(num_workers):
             p = ctx.Process(target=_pool_worker_main,
@@ -124,8 +127,13 @@ class _EpochIterator:
         return self.loader.dataset[int(idx)]
 
     def _producer_pool(self):
-        """Dispatch batches to the process pool; emit results in order."""
+        """Dispatch batches to the process pool; emit results in order.
+        Each epoch bumps the pool generation; results tagged with an
+        older generation (an abandoned epoch's leftovers) are
+        discarded."""
         pool = self.loader._get_pool()
+        pool.generation += 1
+        gen = pool.generation
         max_out = len(pool.workers) + self.loader.prefetch
         pending: Dict[int, Any] = {}
         next_submit = next_emit = 0
@@ -135,14 +143,18 @@ class _EpochIterator:
                        next_submit - next_emit < max_out):
                     inds = self.order[next_submit * self.batch_size:
                                       (next_submit + 1) * self.batch_size]
-                    pool.task_q.put((next_submit, list(map(int, inds))))
+                    pool.task_q.put((gen, next_submit,
+                                     list(map(int, inds))))
                     next_submit += 1
                 while next_emit not in pending:
                     if self._stop.is_set():
                         return
                     try:
-                        bid, payload = pool.result_q.get(timeout=0.5)
+                        rgen, bid, payload = pool.result_q.get(
+                            timeout=0.5)
                     except queue.Empty:
+                        continue
+                    if rgen != gen:   # stale epoch leftovers
                         continue
                     pending[bid] = payload
                 payload = pending.pop(next_emit)

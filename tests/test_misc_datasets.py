@@ -178,3 +178,22 @@ class TestProcessPoolLoader:
                 list(iter(loader))
         finally:
             loader.shutdown()
+
+    def test_abandoned_epoch_leftovers_discarded(self):
+        """Results of an abandoned epoch must not leak into the next
+        (generation-tagged tasks)."""
+        loader = NumpyLoader(self.DS(), batch_size=2, shuffle=True,
+                             seed=7, num_workers=2,
+                             workers_mode='process')
+        try:
+            it0 = iter(loader)
+            next(it0)            # consume one batch, abandon the rest
+            it0.close()
+            loader.set_epoch(1)
+            it1 = iter(loader)
+            got = np.concatenate([b['label'] for b in it1])
+            expected = np.random.default_rng(7 + 1).permutation(10)
+            # epoch-1 order must be reproduced exactly, in order
+            np.testing.assert_array_equal(got, expected)
+        finally:
+            loader.shutdown()
