@@ -72,15 +72,64 @@ def example_batch_from(dataset, batch_size: int) -> Dict:
     return batch
 
 
+def _torch_ssl_checkpoint_vars(ckpt_path: str, raw_prefix: str,
+                               prefix: str) -> Dict:
+    """Load a reference torch .pth MSCL checkpoint and convert the
+    ``<raw_prefix>.*`` encoder (torchvision VideoResNet names, the
+    r3d_18 flagship) into flax params/batch_stats nested under the
+    normalized flax ``prefix`` so the normal surgery path applies
+    unchanged. raw_prefix matches the torch key names
+    ('recognizer.encoder_q'); prefix is the flax module path
+    ('recognizer_m/encoder_q')."""
+    import torch
+
+    from ..utils.torch_weights import convert_videoresnet_state_dict
+    sd = torch.load(ckpt_path, map_location='cpu',
+                    weights_only=False)
+    sd = sd.get('state_dict', sd)
+    dot_prefix = raw_prefix.replace('/', '.') + '.'
+    sub = {k[len(dot_prefix):]: v.detach().numpy()
+           for k, v in sd.items() if k.startswith(dot_prefix)}
+    if not sub:
+        raise KeyError(
+            f'no keys under prefix {dot_prefix!r} in torch checkpoint '
+            f'{ckpt_path} (found e.g. {list(sd)[:3]})')
+    if not any(k.startswith('stem.') for k in sub):
+        raise NotImplementedError(
+            'torch-checkpoint surgery currently converts torchvision '
+            'VideoResNet encoders (the r3d_18 flagship); found a '
+            f'different architecture under {dot_prefix!r}')
+    params, stats = convert_videoresnet_state_dict(sub)
+
+    def nest(tree):
+        for part in reversed(prefix.split('/')):
+            tree = {part: tree}
+        return tree
+
+    return {'params': nest(params), 'batch_stats': nest(stats)}
+
+
 def apply_ssl_pretrain(variables: Dict, ssl_cfg: Dict) -> Dict:
-    """reference base.py:129-203 (init_from_ssl_pretrain)."""
+    """reference base.py:129-203 (init_from_ssl_pretrain). Accepts both
+    this framework's msgpack checkpoints and the reference's torch
+    ``.pth`` files (e.g. the published MSCL ``epoch_400.pth``)."""
     ckpt_path = ssl_cfg['pretrained']['filename']
-    ckpt = load_checkpoint(ckpt_path)
-    ckpt_vars = {'params': ckpt.get('params', ckpt),
-                 'batch_stats': ckpt.get('batch_stats', {})}
     bb_cfg = ssl_cfg.get('backbone', {})
     prefix = normalize_module_path(bb_cfg.get('prefix',
                                               'recognizer.encoder_q'))
+    if ckpt_path.endswith(('.pth', '.pt', '.tar')):
+        raw_prefix = bb_cfg.get('prefix', 'recognizer.encoder_q')
+        ckpt_vars = _torch_ssl_checkpoint_vars(ckpt_path, raw_prefix,
+                                               prefix)
+        return init_from_ssl_pretrain(
+            variables, ckpt_vars, module_name='backbone_m',
+            prefix=prefix,
+            extras=tuple(ssl_cfg.get('extras', ('fc',))),
+            revise_keys=ssl_cfg.get('revise_keys', ()),
+            duplicate_keys=ssl_cfg.get('duplicate_keys', ()))
+    ckpt = load_checkpoint(ckpt_path)
+    ckpt_vars = {'params': ckpt.get('params', ckpt),
+                 'batch_stats': ckpt.get('batch_stats', {})}
     return init_from_ssl_pretrain(
         variables, ckpt_vars, module_name='backbone_m',
         prefix=prefix, extras=tuple(ssl_cfg.get('extras', ('fc',))),

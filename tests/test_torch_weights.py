@@ -81,3 +81,39 @@ def test_convert_covers_full_r3d18():
                    train=False)
     assert out[-1].shape[-1] == 512
     assert np.all(np.isfinite(np.asarray(out[-1])))
+
+
+def test_ssl_surgery_from_torch_pth(tmp_path):
+    """The fine-tune checkpoint surgery consumes the reference's torch
+    .pth MSCL checkpoints directly (recognizer.encoder_q.* torchvision
+    names -> backbone params + BN stats, exactly placed)."""
+    import torch
+
+    from mscl_tpu.apis.train import (apply_ssl_pretrain,
+                                     build_model_from_cfg)
+    rng = np.random.default_rng(0)
+    sd = {f'recognizer.encoder_q.{k}': torch.from_numpy(np.asarray(v))
+          for k, v in synth_r3d18_state_dict(rng).items()}
+    sd['recognizer.encoder_k.stem.0.weight'] = torch.zeros(1)
+    path = str(tmp_path / 'epoch_400.pth')
+    torch.save({'state_dict': sd, 'meta': {}}, path)
+
+    model = build_model_from_cfg(dict(
+        type='Recognizer3D',
+        backbone=dict(type='torchvision.r3d_18'),
+        cls_head=dict(type='I3DHead', num_classes=5, in_channels=512,
+                      spatial_type='avg')))
+    x = jnp.zeros((1, 3, 4, 32, 32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = apply_ssl_pretrain(dict(v), dict(
+        pretrained=dict(filename=path),
+        backbone=dict(prefix='recognizer.encoder_q')))
+    got = np.asarray(v2['params']['backbone_m']['stem']['conv']['kernel'])
+    want = sd['recognizer.encoder_q.stem.0.weight'].numpy().transpose(
+        2, 3, 4, 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    got_bn = np.asarray(
+        v2['batch_stats']['backbone_m']['layer2_0']['conv1']['bn']['mean'])
+    want_bn = sd[
+        'recognizer.encoder_q.layer2.0.conv1.1.running_mean'].numpy()
+    np.testing.assert_allclose(got_bn, want_bn, rtol=1e-6)
