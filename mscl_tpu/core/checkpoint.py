@@ -45,6 +45,11 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     if osp.isdir(path):
         with open(osp.join(path, 'latest')) as f:
             path = osp.join(path, f.read().strip())
+    if path.endswith(('.pth', '.pt', '.tar')):
+        # reference torch checkpoint (fine-tuned Recognizer with a
+        # torchvision-VideoResNet backbone): convert to our collections
+        from ..utils.torch_weights import convert_recognizer_checkpoint
+        return convert_recognizer_checkpoint(path)
     with open(path, 'rb') as f:
         return serialization.msgpack_restore(f.read())
 

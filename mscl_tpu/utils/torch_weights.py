@@ -100,3 +100,36 @@ def graft_backbone_weights(variables: Dict, params: Dict, stats: Dict,
                   f'covered (first: {missing[:3]})')
         out[coll] = set_by_path(variables[coll], module_name, new_tgt)
     return out
+
+
+def convert_recognizer_checkpoint(path: str):
+    """Convert a reference fine-tuned torch checkpoint (Recognizer with
+    a torchvision-VideoResNet ``backbone.*`` and a pool-fc
+    ``cls_head.fc_cls.*``) into this framework's checkpoint collections
+    ({'params': ..., 'batch_stats': ...}), consumable by
+    restore_model_state / tools/test.py / tools/test_retrieval.py."""
+    import torch
+    sd = torch.load(path, map_location='cpu', weights_only=False)
+    sd = sd.get('state_dict', sd)
+    sd = {k: v.detach().numpy() if hasattr(v, 'detach') else v
+          for k, v in sd.items()}
+    bb = {k[len('backbone.'):]: v for k, v in sd.items()
+          if k.startswith('backbone.')}
+    if not any(k.startswith('stem.') for k in bb):
+        raise NotImplementedError(
+            'convert_recognizer_checkpoint supports torchvision-'
+            'VideoResNet backbones; found keys like '
+            f'{list(bb)[:3] or list(sd)[:3]}')
+    params, stats = convert_videoresnet_state_dict(bb)
+    out_params = {'backbone_m': params}
+    out_stats = {'backbone_m': stats}
+    head = {}
+    if 'cls_head.fc_cls.weight' in sd:
+        head['fc_cls'] = {
+            'kernel': np.ascontiguousarray(
+                sd['cls_head.fc_cls.weight'].T),
+            'bias': np.ascontiguousarray(sd['cls_head.fc_cls.bias']),
+        }
+    if head:
+        out_params['cls_head_m'] = head
+    return {'params': out_params, 'batch_stats': out_stats}

@@ -117,3 +117,27 @@ def test_ssl_surgery_from_torch_pth(tmp_path):
     want_bn = sd[
         'recognizer.encoder_q.layer2.0.conv1.1.running_mean'].numpy()
     np.testing.assert_allclose(got_bn, want_bn, rtol=1e-6)
+
+
+def test_eval_cli_loads_torch_finetuned_checkpoint(tmp_path):
+    """tools/test.py-style loading of a reference fine-tuned torch
+    checkpoint: load_checkpoint converts backbone + fc_cls into our
+    collections and restore_model_state applies them."""
+    import torch
+
+    from mscl_tpu.core import load_checkpoint
+
+    rng = np.random.default_rng(1)
+    sd = {f'backbone.{k}': torch.from_numpy(np.asarray(v))
+          for k, v in synth_r3d18_state_dict(rng).items()}
+    sd['cls_head.fc_cls.weight'] = torch.from_numpy(
+        rng.normal(size=(101, 512)).astype(np.float32))
+    sd['cls_head.fc_cls.bias'] = torch.zeros(101)
+    path = str(tmp_path / 'finetuned.pth')
+    torch.save({'state_dict': sd}, path)
+    ckpt = load_checkpoint(path)
+    np.testing.assert_allclose(
+        ckpt['params']['cls_head_m']['fc_cls']['kernel'],
+        sd['cls_head.fc_cls.weight'].numpy().T)
+    assert 'layer4_1' in ckpt['params']['backbone_m']
+    assert 'layer4_1' in ckpt['batch_stats']['backbone_m']
