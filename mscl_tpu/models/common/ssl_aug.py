@@ -203,18 +203,23 @@ def gaussian_blur_video(rng, imgs: jnp.ndarray, sigma_range=(0.1, 2.0),
     kern1d = jnp.exp(-0.5 * (xs / sigma) ** 2)
     kern1d = kern1d / kern1d.sum()
     flat = imgs.reshape(b * t, h, w, c)
-    # separable depthwise blur (two 1-D convs — VPU friendly)
+    # separable depthwise blur (two 1-D convs — VPU friendly) with
+    # reflect borders (kornia GaussianBlur2d's default border_type)
     kern_h = jnp.tile(kern1d.reshape(radius, 1, 1, 1), (1, 1, 1, c))
     kern_w = jnp.tile(kern1d.reshape(1, radius, 1, 1), (1, 1, 1, c))
 
-    def depthwise(x, kernel, pad):
+    def depthwise(x, kernel):
         return jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1), padding=pad,
+            x, kernel, window_strides=(1, 1), padding='VALID',
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             feature_group_count=c)
 
-    blurred = depthwise(flat, kern_h, [(half, half), (0, 0)])
-    blurred = depthwise(blurred, kern_w, [(0, 0), (half, half)])
+    padded = jnp.pad(flat, ((0, 0), (half, half), (0, 0), (0, 0)),
+                     mode='reflect')
+    blurred = depthwise(padded, kern_h)
+    blurred = jnp.pad(blurred, ((0, 0), (0, 0), (half, half), (0, 0)),
+                      mode='reflect')
+    blurred = depthwise(blurred, kern_w)
     blurred = blurred.reshape(b, t, h, w, c)
     return jnp.where(apply, blurred, imgs)
 

@@ -333,3 +333,33 @@ class TestShuffleBN:
         # keys are still unit-normalized in both modes
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(k), axis=1), 1.0, atol=1e-3)
+
+
+def test_gaussian_blur_reflect_borders():
+    """Blur kernel + reflect border semantics match kornia's
+    GaussianBlur2d (normalized gaussian window, border_type='reflect'),
+    checked against a dense numpy reference."""
+    import jax
+    from mscl_tpu.models.common.ssl_aug import gaussian_blur_video
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 1, 12, 12, 1)).astype(np.float32)
+    out = np.asarray(gaussian_blur_video(
+        jax.random.PRNGKey(3), jnp.asarray(img), img_size=110,
+        p=1.0))[0, 0, :, :, 0]
+    # recover the sigma the call drew
+    k_apply, k_sigma = jax.random.split(jax.random.PRNGKey(3))
+    sigma = float(jax.random.uniform(k_sigma, (), minval=0.1,
+                                     maxval=2.0))
+    radius = int(0.1 * 110) // 2 * 2 + 1
+    half = radius // 2
+    xs = np.arange(-half, half + 1, dtype=np.float32)
+    k1 = np.exp(-0.5 * (xs / sigma) ** 2)
+    k1 /= k1.sum()
+    ref = img[0, 0, :, :, 0]
+    ref = np.pad(ref, ((half, half), (0, 0)), mode='reflect')
+    ref = np.stack([np.convolve(ref[:, j], k1[::-1], mode='valid')
+                    for j in range(ref.shape[1])], axis=1)
+    ref = np.pad(ref, ((0, 0), (half, half)), mode='reflect')
+    ref = np.stack([np.convolve(ref[i], k1[::-1], mode='valid')
+                    for i in range(ref.shape[0])], axis=0)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
