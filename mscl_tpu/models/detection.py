@@ -231,6 +231,8 @@ class AVAFastRCNN(nn.Module):
         the pipeline's batched padded form from AVAAssignSample
         (rois (B, R, 4) + roi_labels (B, R, C) + roi_weights (B, R))."""
         rois = batch.get('rois')
+        if rois is None:
+            raise KeyError('detection train_step needs "rois" in the batch')
         if rois is not None and rois.ndim == 3:
             b, r = rois.shape[:2]
             labels = batch['roi_labels'].reshape(b * r, -1)
@@ -244,3 +246,22 @@ class AVAFastRCNN(nn.Module):
                                         batch.get('valid_mask'),
                                         train=train)
         return parse_losses(losses)
+
+
+@RECOGNIZERS.register_module()
+class FastRCNN(AVAFastRCNN):
+    """mmdet-style detector entry point.
+
+    The reference dispatches ``type='FastRCNN'`` to mmdet
+    (reference mmaction/models/builder.py:83-86); its AVA configs describe
+    the model as ``roi_head=dict(type='AVARoIHead',
+    bbox_roi_extractor=..., bbox_head=..., shared_head=...)`` plus
+    ``train_cfg.rcnn`` assigner/sampler settings
+    (reference configs/detection/_base_/models/slowonly_r50.py:3-42).
+    AVAFastRCNN already consumes exactly that nested cfg shape (its setup
+    pops the inner ``type`` keys and ignores ``roi_head.type``), so the
+    mmdet name is an alias: every reference detection config builds
+    through it unchanged. The host-side MaxIoUAssignerAVA/RandomSampler
+    machinery lives in core/bbox.py + the AVAAssignSample pipeline and
+    reads the same ``train_cfg.rcnn`` dict.
+    """
