@@ -13,6 +13,7 @@ import multiprocessing
 import queue
 import random
 import threading
+import time
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -71,13 +72,43 @@ def _pool_worker_main(dataset, task_q, result_q, seed, worker_id):
                 f'{type(e).__name__}: {e}')))
 
 
+def _route_result(result_q, gen: int, pending: Dict[int, Any],
+                  timeout: float = 0.5) -> None:
+    """Pop one result and route it by generation tag.
+
+    - rgen == gen: this epoch's batch -> pending.
+    - rgen <  gen: an abandoned epoch's leftover -> dropped.
+    - rgen >  gen: a NEWER epoch's result popped by this (closing)
+      epoch's lingering producer — re-queued so the rightful epoch's
+      emit loop can claim it; dropping it would permanently lose the
+      batch and hang the new epoch's in-order emit (ADVICE r2)."""
+    try:
+        rgen, bid, payload = result_q.get(timeout=timeout)
+    except queue.Empty:
+        return
+    if rgen == gen:
+        pending[bid] = payload
+    elif rgen > gen:
+        result_q.put((rgen, bid, payload))
+        time.sleep(0.02)   # yield so the newer epoch's thread wins the re-get
+
+
 class _ProcessPool:
     """Forked decode-worker pool — the torch-DataLoader-equivalent
     multi-process host input pipeline. cv2/np decode scales across cores
-    without the GIL; fork inherits the dataset without pickling it."""
+    without the GIL.
 
-    def __init__(self, dataset, num_workers: int, seed: int):
-        ctx = multiprocessing.get_context('fork')
+    Start method: 'fork' by default — it inherits the dataset without
+    pickling it, but forking an already multi-threaded parent (the JAX
+    runtime + prefetch threads) can in principle deadlock workers on
+    inherited locks, so workers run pure numpy/cv2 code and the pool
+    should be created before heavy JAX activity where possible;
+    'forkserver'/'spawn' are selectable via ``mp_context`` when the
+    dataset is picklable (ADVICE r2)."""
+
+    def __init__(self, dataset, num_workers: int, seed: int,
+                 mp_context: str = 'fork'):
+        ctx = multiprocessing.get_context(mp_context)
         self.task_q = ctx.Queue()
         self.result_q = ctx.Queue()
         self.generation = 0
@@ -149,14 +180,7 @@ class _EpochIterator:
                 while next_emit not in pending:
                     if self._stop.is_set():
                         return
-                    try:
-                        rgen, bid, payload = pool.result_q.get(
-                            timeout=0.5)
-                    except queue.Empty:
-                        continue
-                    if rgen != gen:   # stale epoch leftovers
-                        continue
-                    pending[bid] = payload
+                    _route_result(pool.result_q, gen, pending)
                 payload = pending.pop(next_emit)
                 if isinstance(payload, BaseException):
                     raise payload
@@ -232,8 +256,9 @@ class NumpyLoader:
     def __init__(self, dataset, batch_size, shuffle=True, seed=None,
                  drop_last=False, num_workers=0, prefetch=2,
                  collate_fn=default_collate, sampler=None,
-                 workers_mode='thread'):
+                 workers_mode='thread', mp_context='fork'):
         assert workers_mode in ('thread', 'process'), workers_mode
+        self.mp_context = mp_context
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -250,7 +275,7 @@ class NumpyLoader:
     def _get_pool(self) -> _ProcessPool:
         if self._pool is None or not self._pool.workers:
             self._pool = _ProcessPool(self.dataset, self.num_workers,
-                                      self.seed)
+                                      self.seed, self.mp_context)
         return self._pool
 
     def shutdown(self):

@@ -101,7 +101,7 @@ class TSMReidSimpleHead(_ReidHeadBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False, num_segs: int = None,
-                 labels=None):
+                 labels=None, return_feat: bool = False):
         if x.ndim == 4:                     # (N*segs, H, W, C)
             x = x.mean(axis=(1, 2))
         x = x.reshape((-1, self._segments()) + x.shape[1:])
@@ -109,12 +109,14 @@ class TSMReidSimpleHead(_ReidHeadBase):
         if self.dropout_ratio:
             x = nn.Dropout(self.dropout_ratio,
                            deterministic=not train)(x)
-        self.sow('intermediates', 'reid_feat', x)
+        feat = x                            # pre-BNNeck feat feeds reid
+        self.sow('intermediates', 'reid_feat', feat)
         if self.use_bnneck:
             x = nn.BatchNorm(use_running_average=not train,
                              use_bias=False, dtype=self.dtype,
                              name='bnneck')(x)
-        return self._score(x, train, labels)
+        score = self._score(x, train, labels)
+        return (score, feat) if return_feat else score
 
 
 @HEADS.register_module()
@@ -124,7 +126,7 @@ class FGTSMReidSimpleHead(_ReidHeadBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False, num_segs: int = None,
-                 labels=None):
+                 labels=None, return_feat: bool = False):
         x_avg = x.mean(axis=(1, 2)) if x.ndim == 4 else x
         x_mx = x.max(axis=(1, 2)) if x.ndim == 4 else x
         segs = self._segments()
@@ -135,7 +137,8 @@ class FGTSMReidSimpleHead(_ReidHeadBase):
                               deterministic=not train)
             x_avg, x_mx = drop(x_avg), drop(x_mx)
         self.sow('intermediates', 'reid_feat', x_mx)
-        return self._score(x_avg, train, labels)
+        score = self._score(x_avg, train, labels)
+        return (score, x_mx) if return_feat else score
 
 
 @HEADS.register_module()

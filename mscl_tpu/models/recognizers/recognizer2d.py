@@ -48,8 +48,19 @@ class Recognizer2D(nn.Module):
         feat = self.backbone_m(x, train=train)
         if isinstance(feat, (list, tuple)):
             feat = feat[-1]
+        labels_flat = labels.reshape(-1)
+        from ..heads.reid_distill_heads import _ReidHeadBase
+        if isinstance(self.cls_head_m, _ReidHeadBase):
+            # reid heads need the targets in-call (cosface margin) and
+            # yield the pooled feature the triplet reid loss consumes
+            # (reference reid_head.py forward/loss pairing)
+            cls_score, reid_feat = self.cls_head_m(
+                feat, train=train, num_segs=num_segs, labels=labels_flat,
+                return_feat=True)
+            return self.cls_head_m.loss(cls_score, labels_flat,
+                                        reid_feat=reid_feat)
         cls_score = self.cls_head_m(feat, train=train, num_segs=num_segs)
-        return self.cls_head_m.loss(cls_score, labels.reshape(-1))
+        return self.cls_head_m.loss(cls_score, labels_flat)
 
     def forward_test(self, imgs) -> jnp.ndarray:
         x, num_segs = self._frames_nhwc(imgs)

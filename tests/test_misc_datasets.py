@@ -179,6 +179,40 @@ class TestProcessPoolLoader:
         finally:
             loader.shutdown()
 
+    def test_route_result_requeues_newer_generation(self):
+        """ADVICE r2: a lingering (closing) epoch's producer that pops a
+        NEWER epoch's result must re-queue it, not drop it — dropping
+        loses the batch and hangs the new epoch's in-order emit loop.
+        Older-generation leftovers are dropped; same-generation results
+        land in pending."""
+        import queue as _q
+        from mscl_tpu.datasets.loader import _route_result
+        rq = _q.Queue()
+        pending = {}
+        rq.put((5, 0, 'newer'))          # future epoch's result
+        _route_result(rq, 4, pending, timeout=0.01)
+        assert pending == {} and rq.get_nowait() == (5, 0, 'newer')
+        rq.put((3, 0, 'stale'))          # abandoned epoch's leftover
+        _route_result(rq, 4, pending, timeout=0.01)
+        assert pending == {} and rq.empty()
+        rq.put((4, 2, 'mine'))           # this epoch's result
+        _route_result(rq, 4, pending, timeout=0.01)
+        assert pending == {2: 'mine'} and rq.empty()
+
+    def test_forkserver_context(self):
+        """mp_context='forkserver' works with a picklable dataset
+        (ADVICE r2: fork-from-threads hazard mitigation)."""
+        loader = NumpyLoader(self.DS(), batch_size=5, shuffle=False,
+                             num_workers=1, workers_mode='process',
+                             mp_context='forkserver')
+        try:
+            batches = list(iter(loader))
+            assert len(batches) == 2
+            seen = np.concatenate([b['label'] for b in batches])
+            np.testing.assert_array_equal(seen, np.arange(10))
+        finally:
+            loader.shutdown()
+
     def test_abandoned_epoch_leftovers_discarded(self):
         """Results of an abandoned epoch must not leak into the next
         (generation-tagged tasks)."""

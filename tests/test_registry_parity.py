@@ -51,6 +51,35 @@ class TestNewHeads:
         off = diff[np.arange(2), (np.asarray(labels) + 1) % 5]
         np.testing.assert_allclose(off, 0.0, atol=1e-4)
 
+    def test_recognizer2d_wires_reid_head(self):
+        """ADVICE r2: Recognizer2D must plumb labels into reid heads (so
+        the cosface margin is live in training) and feed the pooled
+        reid_feat into loss() (so loss_reid is actually computed)."""
+        from mscl_tpu.models import build_model
+        model = build_model(dict(
+            type='Recognizer2D',
+            backbone=dict(type='ResNet', depth=18, in_channels=3),
+            cls_head=dict(type='TSMReidSimpleHead', num_classes=5,
+                          in_channels=512, num_segments=2,
+                          dropout_ratio=0.0,
+                          use_cosface=dict(use=True, s=8, m=0.2),
+                          loss_cls=dict(type='CrossEntropyLoss'))))
+        imgs = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 2, 3, 32, 32)), jnp.float32)
+        labels = jnp.asarray([0, 1])
+        v = model.init(jax.random.PRNGKey(0), imgs, labels, train=True)
+        losses, _ = model.apply(
+            v, imgs, labels, train=True, mutable=['batch_stats'],
+            rngs={'dropout': jax.random.PRNGKey(1)})
+        assert 'loss_reid' in losses     # triplet reid branch is live
+        # cosface margin live: same weights, labels shifted -> the margin
+        # lands on different logits -> loss_cls changes
+        losses2, _ = model.apply(
+            v, imgs, jnp.asarray([2, 3]), train=True,
+            mutable=['batch_stats'], rngs={'dropout': jax.random.PRNGKey(1)})
+        assert abs(float(losses['loss_cls']) -
+                   float(losses2['loss_cls'])) > 1e-6
+
     def test_rc_modist_head(self):
         h = build_head(dict(type='RcMoDistHead', dim_fpn=8))
         mlvl = [jnp.ones((2, 4, 8, 8, 8)), jnp.ones((2, 4, 4, 4, 8))]
