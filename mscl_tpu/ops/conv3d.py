@@ -52,19 +52,28 @@ def get_conv3d_impl() -> str:
     return _IMPL
 
 
-# Cotangent materialization barrier (measured NET-NEGATIVE, default
-# off): the round-2 step profile shows the four layer1 grad-input convs
-# at 48 TF/s vs 92 TF/s forward — XLA fuses the BN/relu-backward
-# elementwise graph into the grad-conv fusion. Barriering the cotangent
-# in the VJP de-fuses it, but the full-program A/B measured 83.1 vs
-# 77.6 ms/step: the extra HBM round-trips for materialized cotangents
-# cost more than the conv recomputation saves. Kept as an option.
-_BWD_BARRIER = os.environ.get('MSCL_CONV3D_BWD_BARRIER', '0') == '1'
+# Cotangent materialization barrier. The round-2 step profile shows the
+# four layer1 grad-input convs at 48 TF/s vs 92 TF/s forward — XLA fuses
+# the BN/relu-backward elementwise graph into the grad-conv fusion,
+# where it is re-evaluated per conv window tap. Modes:
+#   '0'    — off (default)
+#   '1'    — barrier g before BOTH grads, every conv (round-2 experiment:
+#            measured NET-NEGATIVE, 83.1 vs 77.6 ms/step — materializing
+#            every cotangent costs more than the recompute saves)
+#   'gi'   — barrier only the grad-INPUT path's cotangent, every conv
+#   'gi64' — barrier only grad-input and only for the measured-
+#            pathological class (3x3x3, C=F=64, stride 1): the surgical
+#            split — 4 cotangent materializations (~1 ms HBM) vs ~7 ms
+#            of conv-fusion slowdown.
+_BWD_BARRIER = os.environ.get('MSCL_CONV3D_BWD_BARRIER', '0')
 
 
-def set_conv3d_bwd_barrier(on: bool) -> None:
+def set_conv3d_bwd_barrier(mode) -> None:
     global _BWD_BARRIER
-    _BWD_BARRIER = bool(on)
+    if mode in (True, False):
+        mode = '1' if mode else '0'
+    assert mode in ('0', '1', 'gi', 'gi64'), mode
+    _BWD_BARRIER = mode
 
 
 # Space-to-depth stem rewrite (thin-input-channel convs). The stem's
@@ -90,7 +99,7 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
             tuple(padding)[1:] == (3, 3) and x.shape[2] % 2 == 0 and
             x.shape[3] % 2 == 0):
         return _conv3d_s2d_stem(x, kernel, tuple(stride), tuple(padding))
-    if _BWD_BARRIER and _IMPL == 'xla3d':
+    if _BWD_BARRIER != '0' and _IMPL == 'xla3d':
         return _conv3d_xla_barrier(x, kernel, tuple(stride),
                                    tuple(padding))
     return _conv3d_dispatch(x, kernel, stride, padding)
@@ -112,7 +121,7 @@ def _conv3d_s2d_stem(x, kernel, stride, padding):
     kp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
     kf = kp.reshape(kt, 4, 2, 4, 2, c, f)
     kf = kf.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * c, f)
-    if _BWD_BARRIER:
+    if _BWD_BARRIER != '0':
         return _conv3d_xla_barrier(xf, kf, (st, 1, 1),
                                    ((pt, pt), (2, 1), (2, 1)))
     return _conv3d_xla(xf, kf, (st, 1, 1), ((pt, pt), (2, 1), (2, 1)))
@@ -139,11 +148,24 @@ def _conv3d_barrier_fwd(x, kernel, stride, padding):
     return _conv3d_xla(x, kernel, stride, padding), (x, kernel)
 
 
+def _is_gi64_class(kernel) -> bool:
+    kt, kh, kw, c, f = kernel.shape
+    return (kt, kh, kw) == (3, 3, 3) and c == 64 and f == 64
+
+
 def _conv3d_barrier_bwd(stride, padding, res, g):
     x, kernel = res
-    g = lax.optimization_barrier(g)
+    mode = _BWD_BARRIER
     _, vjp = jax.vjp(
         lambda x_, k_: _conv3d_xla(x_, k_, stride, padding), x, kernel)
+    if mode == '1':
+        return vjp(lax.optimization_barrier(g))
+    if mode == 'gi' or (mode == 'gi64' and _is_gi64_class(kernel)):
+        # materialize the cotangent for the grad-input conv only; the
+        # grad-weight conv (94 TF/s with the fused epilogue) keeps g raw
+        dx, _ = vjp(lax.optimization_barrier(g))
+        _, dw = vjp(g)
+        return dx, dw
     return vjp(g)
 
 

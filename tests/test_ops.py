@@ -218,12 +218,19 @@ class TestConv3dRewrites:
         for a, b in zip(g, gref):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
-    def test_bwd_barrier_exact(self):
+    @pytest.mark.parametrize('mode,cin,cout', [
+        ('1', 6, 5),        # round-2 full barrier
+        ('gi', 6, 5),       # grad-input-only barrier
+        ('gi64', 64, 64),   # surgical: barrier hits the 64-ch class...
+        ('gi64', 6, 5),     # ...and is a no-op off-class (still exact)
+    ])
+    def test_bwd_barrier_exact(self, mode, cin, cout):
         from mscl_tpu.ops import conv3d as c3
-        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 6))
-        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 6, 5)) * .1
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, cin))
+        w = jax.random.normal(jax.random.PRNGKey(1),
+                              (3, 3, 3, cin, cout)) * .1
         ref, gref = self._ref(x, w, (1, 1, 1), (1, 1, 1))
-        c3.set_conv3d_bwd_barrier(True)
+        c3.set_conv3d_bwd_barrier(mode)
         try:
             out = c3.conv3d(x, w, (1, 1, 1), (1, 1, 1))
             g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
