@@ -25,6 +25,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -196,42 +197,49 @@ class VideoResNet(nn.Module):
     base_width: int = 64
     out_indices: Sequence[int] = (0, 1, 2, 3)
     single_out: bool = False              # return only layer4 features
+    # reference r3d.py frozen_stages semantics: -1 none, 0 stem only,
+    # n >= 1 stem + layer1..n (params get no gradient, BN runs in eval
+    # mode with running statistics)
+    frozen_stages: int = -1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        stem_train = train and self.frozen_stages < 0
         # ------------------------------------------------------------ stem
         if self.stem == 'r3d':
             x = ConvBN(self.base_width, (3, 7, 7), (1, 2, 2), (1, 3, 3),
-                       dtype=self.dtype, name='stem')(x, train)
+                       dtype=self.dtype, name='stem')(x, stem_train)
         elif self.stem == 'r3d_pool':
             # BasicDownSampleStem (reference r3d.py:186-195): r3d stem
             # followed by a spatial max-pool
             x = ConvBN(self.base_width, (3, 7, 7), (1, 2, 2), (1, 3, 3),
-                       dtype=self.dtype, name='stem')(x, train)
+                       dtype=self.dtype, name='stem')(x, stem_train)
             x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
                             padding=[(0, 0), (1, 1), (1, 1)])
         elif self.stem == 'flow_basic':
             x = ConvBN(self.base_width, (1, 7, 7), (2, 2, 2), (0, 3, 3),
-                       dtype=self.dtype, name='stem')(x, train)
+                       dtype=self.dtype, name='stem')(x, stem_train)
         elif self.stem == 'flow_2d':
             # pair adjacent frames into channels: n,t,h,w,c -> n,t/2,h,w,2c
             n, t, h, w, c = x.shape
             x = x.reshape(n, t // 2, 2, h, w, c)
             x = jnp.moveaxis(x, 2, 4).reshape(n, t // 2, h, w, 2 * c)
             x = ConvBN(self.base_width, (1, 7, 7), (1, 2, 2), (0, 3, 3),
-                       dtype=self.dtype, name='stem')(x, train)
+                       dtype=self.dtype, name='stem')(x, stem_train)
         elif self.stem == 'flow_2d_v2':
             x = x[:, ::2]
             x = ConvBN(self.base_width, (1, 7, 7), (1, 2, 2), (0, 3, 3),
-                       dtype=self.dtype, name='stem')(x, train)
+                       dtype=self.dtype, name='stem')(x, stem_train)
         elif self.stem == 'flow_bottleneck':
             x = ConvBN(self.base_width, (1, 7, 7), (2, 2, 2), (0, 3, 3),
-                       dtype=self.dtype, name='stem')(x, train)
+                       dtype=self.dtype, name='stem')(x, stem_train)
             x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
                             padding=[(0, 0), (1, 1), (1, 1)])
         else:
             raise ValueError(f'unknown stem {self.stem}')
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
 
         block_cls = BasicBlock3D if self.block == 'basic' else Bottleneck3D
         expansion = 1 if self.block == 'basic' else 4
@@ -243,13 +251,19 @@ class VideoResNet(nn.Module):
             planes = self.base_width * (2 ** stage_idx)
             stride = 1 if stage_idx == 0 else 2
             maker = self.conv_makers[stage_idx]
+            stage_frozen = self.frozen_stages >= stage_idx + 1
             for block_idx in range(self.layers[stage_idx]):
                 s = stride if block_idx == 0 else 1
                 need_ds = (s != 1 or in_planes != planes * expansion)
                 x = block_cls(planes, maker, s, need_ds, dtype=self.dtype,
                               name=f'layer{stage_idx + 1}_{block_idx}')(
-                                  x, train)
+                                  x, train and not stage_frozen)
                 in_planes = planes * expansion
+            if stage_frozen:
+                # frozen front stages (reference r3d.py frozen_stages):
+                # no grads into this or any earlier stage; BN above ran
+                # with running stats
+                x = jax.lax.stop_gradient(x)
             outs.append(x)
 
         if self.single_out:
@@ -398,13 +412,18 @@ def _r3d_adapter(block='BasicBlock', conv_makers='Conv3DSimple',
     if isinstance(conv_makers, str):
         conv_makers = [conv_makers] * 4
     if 'Conv2Plus1D' in conv_makers or stem == 'R2Plus1dStem':
-        raise ValueError('use type=ResNet2Plus1d for the factorized '
-                         '(2+1)D architecture')
+        # the factorized (2+1)D architecture lives in ResNet2Plus1d;
+        # route the r3d.py spelling there (homogeneous makers only —
+        # the reference ships no mixed-(2+1)D config)
+        assert all(m == 'Conv2Plus1D' for m in conv_makers) and \
+            stem == 'R2Plus1dStem', \
+            'mixed Conv2Plus1D conv_makers are not supported'
+        return ResNet2Plus1d(layers=tuple(layers), **kwargs)
     return VideoResNet(
         block=_R3D_BLOCKS[block],
         conv_makers=tuple(_R3D_MAKERS[m] for m in conv_makers),
         layers=tuple(layers), stem=_R3D_STEMS[stem], base_width=64,
-        **kwargs)
+        frozen_stages=frozen_stages, **kwargs)
 
 
 BACKBONES.register_module(name='R3D', module=_r3d_adapter)

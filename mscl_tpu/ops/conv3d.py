@@ -68,11 +68,21 @@ def get_conv3d_impl() -> str:
 _BWD_BARRIER = os.environ.get('MSCL_CONV3D_BWD_BARRIER', '0')
 
 
+#   'giflip'  — no barrier; rewrite the grad-input conv of stride-1 SAME
+#            3x3x3 convs as a FORWARD-form conv on the cotangent with the
+#            spatially-flipped, io-swapped kernel (mathematically
+#            identical). Hypothesis: XLA's transposed-conv emitter is the
+#            slow part (measured 48 TF/s vs 92 forward), not the fused
+#            epilogue — the gi64 barrier A/B (79.9 vs 76.4 ms/step)
+#            ruled the epilogue theory out.
+#   'giflip64' — same, restricted to the C=F=64 class.
+
+
 def set_conv3d_bwd_barrier(mode) -> None:
     global _BWD_BARRIER
     if mode in (True, False):
         mode = '1' if mode else '0'
-    assert mode in ('0', '1', 'gi', 'gi64'), mode
+    assert mode in ('0', '1', 'gi', 'gi64', 'giflip', 'giflip64'), mode
     _BWD_BARRIER = mode
 
 
@@ -153,6 +163,16 @@ def _is_gi64_class(kernel) -> bool:
     return (kt, kh, kw) == (3, 3, 3) and c == 64 and f == 64
 
 
+def _flip_conv_applicable(kernel, stride, padding):
+    """giflip precondition: stride-1 SAME square conv so
+    dx == conv(g, flip(W) with io swapped) exactly."""
+    kt, kh, kw = kernel.shape[:3]
+    pads = tuple(p if isinstance(p, tuple) else (p, p) for p in padding)
+    return (tuple(stride) == (1, 1, 1) and
+            pads == ((kt // 2,) * 2, (kh // 2,) * 2, (kw // 2,) * 2) and
+            kt % 2 == 1 and kh % 2 == 1 and kw % 2 == 1)
+
+
 def _conv3d_barrier_bwd(stride, padding, res, g):
     x, kernel = res
     mode = _BWD_BARRIER
@@ -165,6 +185,14 @@ def _conv3d_barrier_bwd(stride, padding, res, g):
         # grad-weight conv (94 TF/s with the fused epilogue) keeps g raw
         dx, _ = vjp(lax.optimization_barrier(g))
         _, dw = vjp(g)
+        return dx, dw
+    if (mode in ('giflip', 'giflip64') and
+            _flip_conv_applicable(kernel, stride, padding) and
+            (mode == 'giflip' or _is_gi64_class(kernel))):
+        _, dw = vjp(g)          # XLA DCEs the unused dx from this call
+        wf = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+        dx = _conv3d_xla(g, wf, (1, 1, 1),
+                         tuple(k // 2 for k in kernel.shape[:3]))
         return dx, dw
     return vjp(g)
 

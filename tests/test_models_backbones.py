@@ -166,3 +166,68 @@ class TestNecks:
         outs = fpn.apply(variables, feats)
         assert [o.shape[-1] for o in outs] == [128, 128, 128]
         assert outs[0].shape[1:4] == (4, 14, 14)
+
+
+class TestR3DNamedAPI:
+    """Reference r3d.py:216-363 config surface: named blocks / conv
+    makers / stems, frozen_stages, Conv2Plus1D routing."""
+
+    def test_frozen_stages_blocks_grads_and_bn(self):
+        bb = BACKBONES.get('R3D')(
+            block='BasicBlock', conv_makers='Conv3DSimple',
+            layers=(1, 1, 1, 1), stem='BasicStem', frozen_stages=1)
+        # spatial 32 keeps layer4 at 2x2 (1x1 + batch-1 BN would zero
+        # the activations and hide gradients)
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 2, 32, 32, 3)), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            out = bb.apply({'params': params,
+                            'batch_stats': variables['batch_stats']},
+                           x, train=True, mutable=['batch_stats'])[0]
+            return sum(jnp.sum(o ** 2) for o in out)
+
+        g = jax.grad(loss)(variables['params'])
+        frozen = ['stem', 'layer1_0']
+        live = ['layer2_0', 'layer3_0', 'layer4_0']
+        for name in frozen:
+            leaves = jax.tree.leaves(g[name])
+            assert all(float(jnp.abs(v).max()) == 0.0 for v in leaves), \
+                f'{name} received gradient despite frozen_stages=1'
+        for name in live:
+            leaves = jax.tree.leaves(g[name])
+            assert any(float(jnp.abs(v).max()) > 0 for v in leaves), name
+        # frozen BN runs with running stats: batch_stats unchanged there
+        _, nv = bb.apply(variables, x, train=True,
+                         mutable=['batch_stats'])
+        for name in frozen:
+            old = jax.tree.leaves(variables['batch_stats'][name])
+            new = jax.tree.leaves(nv['batch_stats'][name])
+            for o, n in zip(old, new):
+                np.testing.assert_array_equal(np.asarray(o),
+                                              np.asarray(n))
+        for name in live:
+            old = jax.tree.leaves(variables['batch_stats'][name])
+            new = jax.tree.leaves(nv['batch_stats'][name])
+            assert any(float(jnp.abs(o - n).max()) > 0
+                       for o, n in zip(old, new)), name
+
+    def test_conv2plus1d_routes_to_resnet2plus1d(self):
+        bb = BACKBONES.get('R3D')(
+            block='BasicBlock', conv_makers='Conv2Plus1D',
+            layers=(1, 1, 1, 1), stem='R2Plus1dStem')
+        assert type(bb).__name__ == 'ResNet2Plus1d'
+        x = jnp.ones((1, 4, 16, 16, 3), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x)
+        outs = bb.apply(variables, x)
+        assert outs[-1].shape[-1] == 512
+
+    def test_bottleneck_and_pool_stem(self):
+        bb = BACKBONES.get('R3D')(
+            block='Bottleneck', conv_makers='Conv3DNoTemporal',
+            layers=(1, 1, 1, 1), stem='BasicDownSampleStem')
+        x = jnp.ones((1, 2, 32, 32, 3), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x)
+        outs = bb.apply(variables, x)
+        assert outs[-1].shape[-1] == 512 * 4     # bottleneck expansion
