@@ -83,3 +83,87 @@ def frame_map(detections, ground_truths, num_classes, iou_thr=0.5):
         precision = ctp / np.maximum(ctp + cfp, 1e-12)
         aps.append(_average_precision(recall, precision))
     return float(np.mean(aps)) if aps else 0.0
+
+
+class ActivityNetDetection:
+    """Temporal-detection mAP on ActivityNet-format json files.
+
+    Parity: reference mmaction/core/evaluation/eval_detection.py
+    ActivityNetLocalization — ground truth json maps video ids (with a
+    2-char 'v_' prefix, stripped on load, eval_detection.py:81) to
+    ``annotations: [{segment, label}]``; the prediction json carries
+    ``results: {video_id: [{segment, label, score}]}``. Per class, AP
+    uses the greedy highest-IoU lock matching + interpolated PR
+    integration (compute_average_precision_detection semantics), here
+    delegated to ssn_utils.average_precision_at_temporal_iou which
+    implements exactly that protocol.
+    """
+
+    def __init__(self, ground_truth_filename=None,
+                 prediction_filename=None,
+                 tiou_thresholds=None, verbose=False):
+        import json
+        if not ground_truth_filename:
+            raise IOError('Please input a valid ground truth file.')
+        if not prediction_filename:
+            raise IOError('Please input a valid prediction file.')
+        self.tiou_thresholds = (np.linspace(0.5, 0.95, 10)
+                                if tiou_thresholds is None
+                                else np.asarray(tiou_thresholds))
+        self.verbose = verbose
+        with open(ground_truth_filename) as f:
+            gt_data = json.load(f)
+        self.activity_index = {}
+        # per class: {video_id: (k, 2) [t_start, t_end]}
+        self.gt_by_class = {}
+        n_gt = 0
+        for video_id, info in gt_data.items():
+            vid = video_id[2:]          # strip the 'v_' prefix
+            for anno in info['annotations']:
+                label = anno['label']
+                if label not in self.activity_index:
+                    self.activity_index[label] = len(self.activity_index)
+                seg = [float(anno['segment'][0]),
+                       float(anno['segment'][1])]
+                self.gt_by_class.setdefault(label, {}).setdefault(
+                    vid, []).append(seg)
+                n_gt += 1
+        with open(prediction_filename) as f:
+            pred_data = json.load(f)
+        # per class: rows [video_id, class_id, t_start, t_end, score]
+        self.pred_by_class = {}
+        n_pred = 0
+        for video_id, results in pred_data['results'].items():
+            for r in results:
+                label = r['label']
+                if label not in self.activity_index:
+                    continue            # class absent from ground truth
+                self.pred_by_class.setdefault(label, []).append(
+                    [video_id, self.activity_index[label],
+                     float(r['segment'][0]), float(r['segment'][1]),
+                     float(r['score'])])
+                n_pred += 1
+        if verbose:
+            print(f'[INIT] {n_gt} ground truth instances, '
+                  f'{n_pred} predictions, '
+                  f'tiou thresholds {self.tiou_thresholds}')
+
+    def evaluate(self):
+        """Returns (mAP per tiou threshold, average mAP)."""
+        from .ssn_utils import average_precision_at_temporal_iou
+        ap = np.zeros((len(self.tiou_thresholds),
+                       len(self.activity_index)))
+        for label, cls_idx in self.activity_index.items():
+            gts = {vid: np.asarray(v)
+                   for vid, v in self.gt_by_class.get(label, {}).items()}
+            preds = self.pred_by_class.get(label, [])
+            ap[:, cls_idx] = average_precision_at_temporal_iou(
+                gts, preds, self.tiou_thresholds)
+        self.ap = ap
+        self.mAP = ap.mean(axis=1)
+        self.average_mAP = float(self.mAP.mean())
+        return self.mAP, self.average_mAP
+
+
+# reference-name alias (mmaction.core.ActivityNetLocalization)
+ActivityNetLocalization = ActivityNetDetection

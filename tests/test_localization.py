@@ -1,8 +1,12 @@
 """BMN localizer + proposal utils tests."""
+import os.path as osp
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 from mscl_tpu.localization import (average_recall_at_avg_proposals,
                                    soft_nms, temporal_iop, temporal_iou)
@@ -447,3 +451,80 @@ class TestBSNPEMDataPath:
                  duration_frame=300, feature_frame=300,
                  annotations=[]))
         assert len(props) > 0
+
+
+class TestReportMap:
+    """ActivityNetDetection (reference eval_detection.py semantics) and
+    the tools/analysis/report_map.py CLI on synthetic json files."""
+
+    def _write_jsons(self, tmp_path):
+        import json
+        gt = {
+            'v_a': {'annotations': [
+                dict(segment=[0.0, 10.0], label='jump'),
+                dict(segment=[20.0, 30.0], label='run')]},
+            'v_b': {'annotations': [
+                dict(segment=[5.0, 15.0], label='jump')]},
+        }
+        # class-agnostic proposals (pre-label-assignment)
+        proposal = {'results': {
+            'a': [dict(segment=[0.0, 10.0], score=0.9),
+                  dict(segment=[20.0, 30.0], score=0.8)],
+            'b': [dict(segment=[5.0, 15.0], score=0.7)],
+        }, 'version': 'VERSION 1.3', 'external_data': {}}
+        # video-level classification (cuhk-format)
+        cls_pred = {'results': {
+            'a': [dict(label='jump', score=0.9),
+                  dict(label='run', score=0.1)],
+            'b': [dict(label='jump', score=0.8)],
+        }}
+        paths = {}
+        for name, obj in (('gt', gt), ('proposal', proposal),
+                          ('cls', cls_pred)):
+            p = tmp_path / f'{name}.json'
+            p.write_text(json.dumps(obj))
+            paths[name] = str(p)
+        return paths
+
+    def test_detection_map(self, tmp_path):
+        import json
+        paths = self._write_jsons(tmp_path)
+        det = {'results': {
+            'a': [dict(segment=[0.0, 10.0], score=0.9, label='jump'),
+                  dict(segment=[20.0, 30.0], score=0.8, label='run')],
+            'b': [dict(segment=[5.0, 15.0], score=0.7, label='jump')],
+        }}
+        det_p = tmp_path / 'det.json'
+        det_p.write_text(json.dumps(det))
+        from mscl_tpu.localization import ActivityNetDetection
+        ev = ActivityNetDetection(paths['gt'], str(det_p))
+        mAP, avg = ev.evaluate()
+        assert len(mAP) == 10
+        np.testing.assert_allclose(mAP, 1.0)      # perfect detections
+        assert avg == pytest.approx(1.0)
+        # shifted segment: IoU ~0.54 -> correct at low thr, miss at high
+        det['results']['b'] = [dict(segment=[8.0, 15.0], score=0.7,
+                                    label='jump')]
+        det_p.write_text(json.dumps(det))
+        mAP2, avg2 = ActivityNetDetection(paths['gt'],
+                                          str(det_p)).evaluate()
+        assert mAP2[0] == pytest.approx(1.0)       # tIoU 0.5: still hit
+        assert mAP2[-1] < 1.0                      # tIoU 0.95: miss
+        assert avg2 < avg
+
+    def test_report_map_cli(self, tmp_path):
+        import subprocess
+        import sys
+        paths = self._write_jsons(tmp_path)
+        out = subprocess.run(
+            [sys.executable,
+             osp.join(REPO, 'tools/analysis/report_map.py'),
+             '--proposal', paths['proposal'], '--gt', paths['gt'],
+             '--cls-pred', paths['cls'],
+             '--det-output', str(tmp_path / 'det_out.json')],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stdout + out.stderr
+        # cuhk17_top1 labels every proposal of video 'a' as 'jump', so
+        # the 'run' gt is missed and 'jump' gets a false positive at
+        # [20, 30] -> average mAP printed and < 1
+        assert 'Average-mAP' in out.stdout
