@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -31,6 +32,53 @@ ARCH_SETTINGS = {
     101: ('bottleneck', (3, 4, 23, 3)),
     152: ('bottleneck', (3, 8, 36, 3)),
 }
+
+
+class NonLocal3d(nn.Module):
+    """Embedded-gaussian non-local block (mmcv NonLocal3d semantics as
+    configured by the reference nl configs: sub_sample, use_scale,
+    BN3d-normalized conv_out with zero-init gamma so the block starts as
+    identity — reference resnet3d.py:130-132,156 applies it after the
+    residual block).
+
+    Attention over all (t, h, w) positions: y = softmax(theta.phi^T).g;
+    out = x + BN(conv_out(y)).
+    """
+    in_channels: int
+    reduction: int = 2
+    use_scale: bool = True
+    sub_sample: bool = False
+    mode: str = 'embedded_gaussian'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.mode == 'embedded_gaussian', self.mode
+        ic = max(self.in_channels // self.reduction, 1)
+        n, t, h, w, _ = x.shape
+        kw = dict(use_bias=True, dtype=self.dtype,
+                  kernel_init=kaiming_normal_fan_out())
+        theta = nn.Conv(ic, (1, 1, 1), name='theta', **kw)(x)
+        kv_in = x
+        if self.sub_sample:        # (1, 2, 2) max pool on phi/g inputs
+            kv_in = nn.max_pool(x, (1, 2, 2), strides=(1, 2, 2))
+        phi = nn.Conv(ic, (1, 1, 1), name='phi', **kw)(kv_in)
+        g = nn.Conv(ic, (1, 1, 1), name='g', **kw)(kv_in)
+        q = theta.reshape(n, t * h * w, ic)
+        k = phi.reshape(n, -1, ic)
+        v = g.reshape(n, -1, ic)
+        attn = jnp.einsum('nqc,nkc->nqk', q, k)
+        if self.use_scale:
+            attn = attn / jnp.sqrt(jnp.asarray(ic, attn.dtype))
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum('nqk,nkc->nqc', attn, v).reshape(n, t, h, w, ic)
+        y = nn.Conv(self.in_channels, (1, 1, 1), name='conv_out',
+                    **kw)(y)
+        # zero-init gamma: the block is an identity at initialization
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, scale_init=nn.initializers.zeros,
+                         dtype=jnp.float32, name='bn_out')(y)
+        return x + y
 
 
 class BasicBlock3d(nn.Module):
@@ -170,9 +218,18 @@ class ResNet3d(nn.Module):
             inf = (inf,) * self.num_stages
         return inf
 
+    def _nl_flag(self, stage_idx, block_idx):
+        spec = self.non_local
+        if not spec:
+            return False
+        stage_spec = spec[stage_idx] if stage_idx < len(spec) else 0
+        if isinstance(stage_spec, (list, tuple)):
+            return bool(stage_spec[block_idx]) \
+                if block_idx < len(stage_spec) else False
+        return bool(stage_spec)
+
     @nn.compact
     def __call__(self, x, train: bool = False, laterals=None):
-        assert not any(self.non_local), 'non-local blocks not supported'
         block_type, default_blocks = ARCH_SETTINGS[self.depth]
         stage_blocks = self.stage_blocks or \
             default_blocks[:self.num_stages]
@@ -217,6 +274,12 @@ class ResNet3d(nn.Module):
                     downsample=need_ds, dtype=self.dtype,
                     name=f'layer{i + 1}_{b}')(x, train)
                 in_planes = planes * expansion
+                if self._nl_flag(i, b):
+                    nl_cfg = dict(self.non_local_cfg or {})
+                    nl_cfg.pop('norm_cfg', None)   # BN3d is the default
+                    x = NonLocal3d(in_planes, dtype=self.dtype,
+                                   name=f'layer{i + 1}_{b}_nonlocal',
+                                   **nl_cfg)(x, train)
             if i == 0 and self.with_pool2:
                 x = _max_pool3d(x, (2, 1, 1), (2, 1, 1), (0, 0, 0))
             outs.append(x)

@@ -231,3 +231,21 @@ class TestR3DNamedAPI:
         variables = bb.init(jax.random.PRNGKey(0), x)
         outs = bb.apply(variables, x)
         assert outs[-1].shape[-1] == 512 * 4     # bottleneck expansion
+
+
+def test_resnet3d_nonlocal_wiring():
+    """Reference nl configs (slowonly_r50_nl.py:16-21) route per-block
+    non_local flags + non_local_cfg into embedded-gaussian blocks."""
+    from mscl_tpu.models.backbones.resnet3d import ResNet3d
+    bb = ResNet3d(depth=18, base_channels=8,
+                  non_local=((0, 1), (1, 0), (0, 0), (0, 0)),
+                  non_local_cfg=dict(sub_sample=True, use_scale=True,
+                                     norm_cfg=dict(type='BN3d'),
+                                     mode='embedded_gaussian'))
+    x = jnp.ones((1, 4, 32, 32, 3), jnp.float32)
+    variables = bb.init(jax.random.PRNGKey(0), x)
+    assert 'layer1_1_nonlocal' in variables['params']
+    assert 'layer2_0_nonlocal' in variables['params']
+    assert 'layer2_1_nonlocal' not in variables['params']
+    out = bb.apply(variables, x)
+    assert out.shape[-1] == 8 * 8   # layer4 of basic r18 @ base 8

@@ -1093,3 +1093,79 @@ def test_conv_audio_matches_torch(op):
         out_t = tm(xt).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-4,
                                atol=1e-4)
+
+
+# --------------------------------------------------------------- NonLocal3d
+class TorchNonLocal3d(tnn.Module):
+    """Independent torch embedded-gaussian non-local block (mmcv
+    NonLocal3d semantics: optional (1,2,2) sub-sample on phi/g, 1/sqrt(ic)
+    scaling, conv_out + BN residual)."""
+
+    def __init__(self, c, reduction=2, sub_sample=True, use_scale=True):
+        super().__init__()
+        ic = c // reduction
+        self.ic, self.sub_sample, self.use_scale = ic, sub_sample, use_scale
+        self.theta = tnn.Conv3d(c, ic, 1)
+        self.phi = tnn.Conv3d(c, ic, 1)
+        self.g = tnn.Conv3d(c, ic, 1)
+        self.conv_out = tnn.Conv3d(ic, c, 1)
+        self.bn = tnn.BatchNorm3d(c)
+        self.pool = tnn.MaxPool3d((1, 2, 2))
+
+    def forward(self, x):                        # (N, C, T, H, W)
+        n, c, t, h, w = x.shape
+        q = self.theta(x).flatten(2).transpose(1, 2)       # (n, thw, ic)
+        kv = self.pool(x) if self.sub_sample else x
+        k = self.phi(kv).flatten(2)                        # (n, ic, m)
+        v = self.g(kv).flatten(2).transpose(1, 2)          # (n, m, ic)
+        attn = q @ k
+        if self.use_scale:
+            attn = attn / self.ic ** 0.5
+        y = attn.softmax(dim=-1) @ v                       # (n, thw, ic)
+        y = y.transpose(1, 2).reshape(n, self.ic, t, h, w)
+        return x + self.bn(self.conv_out(y))
+
+
+@pytest.mark.parametrize('sub_sample,use_scale', [(True, True),
+                                                  (False, False)])
+def test_nonlocal3d_matches_torch(sub_sample, use_scale):
+    from mscl_tpu.models.backbones.resnet3d import NonLocal3d
+    c = 16
+    mod = NonLocal3d(c, sub_sample=sub_sample, use_scale=use_scale)
+    x = np.random.default_rng(0).normal(size=(2, 4, 8, 8, c)).astype(
+        np.float32)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # randomize everything incl. the zero-init BN gamma
+    rng = np.random.default_rng(1)
+    params = jax.tree.map(
+        lambda v: jnp.asarray(rng.normal(size=v.shape) * 0.2,
+                              jnp.float32), variables['params'])
+    stats = jax.tree.map(
+        lambda v: jnp.asarray(np.abs(rng.normal(size=v.shape)) * 0.5 +
+                              0.5, jnp.float32),
+        variables['batch_stats'])
+    out = mod.apply({'params': params, 'batch_stats': stats},
+                    jnp.asarray(x), train=False)
+
+    tmod = TorchNonLocal3d(c, sub_sample=sub_sample, use_scale=use_scale)
+    for name, conv in (('theta', tmod.theta), ('phi', tmod.phi),
+                       ('g', tmod.g), ('conv_out', tmod.conv_out)):
+        conv.weight.data = torch.from_numpy(np.transpose(
+            np.asarray(params[name]['kernel']), (4, 3, 0, 1, 2)).copy())
+        conv.bias.data = torch.from_numpy(
+            np.asarray(params[name]['bias']).copy())
+    tmod.bn.weight.data = torch.from_numpy(
+        np.asarray(params['bn_out']['scale']).copy())
+    tmod.bn.bias.data = torch.from_numpy(
+        np.asarray(params['bn_out']['bias']).copy())
+    tmod.bn.running_mean.data = torch.from_numpy(
+        np.asarray(stats['bn_out']['mean']).copy())
+    tmod.bn.running_var.data = torch.from_numpy(
+        np.asarray(stats['bn_out']['var']).copy())
+    tmod.eval()
+    with torch.no_grad():
+        tout = tmod(torch.from_numpy(
+            np.transpose(x, (0, 4, 1, 2, 3)).copy()))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 4, 1, 2, 3)),
+        tout.numpy(), rtol=2e-4, atol=2e-4)
