@@ -1,0 +1,7 @@
+# parity: reference configs/detection/ava/slowfast_temporal_max_
+# kinetics_pretrained_r50_8x8x1_cosine_10e_ava22_rgb.py (max temporal
+# pool in the RoI extractor).
+_base_ = ['slowfast_r50_8x8x1_cosine_10e_ava22_rgb.py']
+model = dict(roi_head=dict(bbox_roi_extractor=dict(
+    temporal_pool_mode='max')))
+work_dir = './work_dirs/ava/slowfast_temporal_max_r50_8x8x1_cosine_10e_ava22_rgb'

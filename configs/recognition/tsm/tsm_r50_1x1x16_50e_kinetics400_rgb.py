@@ -1,0 +1,25 @@
+# parity: reference configs/recognition/tsm/
+# tsm_r50_1x1x16_50e_kinetics400_rgb.py (16-segment TSM).
+_base_ = ['tsm_r50_1x1x8_50e_kinetics400_rgb.py']
+model = dict(backbone=dict(num_segments=16),
+             cls_head=dict(num_segments=16))
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_bgr=False)
+train_pipeline = [
+    dict(type='SampleFrames', clip_len=1, frame_interval=1,
+         num_clips=16),
+    dict(type='RawFrameDecode'),
+    dict(type='Resize', scale=(-1, 256)),
+    dict(type='MultiScaleCrop', input_size=224,
+         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
+         max_wh_scale_gap=1, num_fixed_crops=13),
+    dict(type='Resize', scale=(224, 224), keep_ratio=False),
+    dict(type='Flip', flip_ratio=0.5),
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='FormatShape', input_format='NCHW'),
+    dict(type='Collect', keys=['imgs', 'label'], meta_keys=[]),
+    dict(type='ToTensor', keys=['imgs', 'label']),
+]
+data = dict(videos_per_gpu=6, train=dict(pipeline=train_pipeline))
+optimizer = dict(lr=0.0075)
+work_dir = './work_dirs/tsm_r50_1x1x16_50e_kinetics400_rgb'

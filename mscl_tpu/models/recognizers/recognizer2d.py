@@ -32,10 +32,32 @@ class Recognizer2D(nn.Module):
         bb_cfg.pop('pretrained', None)
         self.backbone_m = BACKBONES.get(bb_type)(dtype=self.dtype,
                                                  **bb_cfg)
+        if self.neck is not None:
+            from ..builder import NECKS
+            neck_cfg = dict(self.neck)
+            neck_type = neck_cfg.pop('type')
+            self.neck_m = NECKS.get(neck_type)(dtype=self.dtype,
+                                               **neck_cfg)
+        else:
+            self.neck_m = None
         head_cfg = dict(self.cls_head)
         head_type = head_cfg.pop('type')
         self.cls_head_m = HEADS.get(head_type)(dtype=self.dtype,
                                                **head_cfg)
+
+    def _neck_feat(self, feat, num_segs, train, labels=None):
+        """TPN-over-2D path (reference recognizer2d.py with_neck: each
+        level's (B*segs, H, W, C) frames fold back into a temporal axis
+        before the 3D neck; the fused feature feeds the head with
+        num_segs=1)."""
+        levels = feat if isinstance(feat, (list, tuple)) else [feat]
+        levels = [f.reshape((-1, num_segs) + f.shape[1:])
+                  for f in levels]                    # (B, T=segs, H, W, C)
+        out, aux_losses = self.neck_m(list(levels), train=train,
+                                      labels=labels)
+        if isinstance(out, (list, tuple)):
+            out = out[-1]
+        return out, aux_losses
 
     def _frames_nhwc(self, imgs):
         # (B, num_segs, C, H, W) -> (B*num_segs, H, W, C)
@@ -46,9 +68,16 @@ class Recognizer2D(nn.Module):
     def forward_train(self, imgs, labels, train: bool = True) -> Dict:
         x, num_segs = self._frames_nhwc(imgs)
         feat = self.backbone_m(x, train=train)
+        labels_flat = labels.reshape(-1)
+        if self.neck_m is not None:
+            fused, aux_losses = self._neck_feat(feat, num_segs, train,
+                                                labels_flat)
+            cls_score = self.cls_head_m(fused, train=train, num_segs=1)
+            losses = dict(self.cls_head_m.loss(cls_score, labels_flat))
+            losses.update(aux_losses)
+            return losses
         if isinstance(feat, (list, tuple)):
             feat = feat[-1]
-        labels_flat = labels.reshape(-1)
         from ..heads.reid_distill_heads import _ReidHeadBase
         if isinstance(self.cls_head_m, _ReidHeadBase):
             # reid heads need the targets in-call (cosface margin) and
@@ -65,6 +94,13 @@ class Recognizer2D(nn.Module):
     def forward_test(self, imgs) -> jnp.ndarray:
         x, num_segs = self._frames_nhwc(imgs)
         feat = self.backbone_m(x, train=False)
+        if self.neck_m is not None:
+            feat, _ = self._neck_feat(feat, num_segs, False)
+            cls_score = self.cls_head_m(feat, train=False, num_segs=1)
+            average_clips = (self.test_cfg or {}).get('average_clips')
+            if average_clips == 'prob':
+                cls_score = jax.nn.softmax(cls_score, axis=-1)
+            return cls_score
         if isinstance(feat, (list, tuple)):
             feat = feat[-1]
         cls_score = self.cls_head_m(feat, train=False, num_segs=num_segs)

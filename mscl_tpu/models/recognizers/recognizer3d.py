@@ -45,6 +45,14 @@ class Recognizer3D(nn.Module):
         if factory is None:
             raise KeyError(f'unknown backbone {bb_type}')
         self.backbone_m = factory(dtype=self.dtype, **bb_cfg)
+        if self.neck is not None:
+            from ..builder import NECKS
+            neck_cfg = dict(self.neck)
+            neck_type = neck_cfg.pop('type')
+            self.neck_m = NECKS.get(neck_type)(dtype=self.dtype,
+                                               **neck_cfg)
+        else:
+            self.neck_m = None
         if self.cls_head is not None:
             head_cfg = dict(self.cls_head)
             head_type = head_cfg.pop('type')
@@ -57,19 +65,42 @@ class Recognizer3D(nn.Module):
         # multi-pathway outputs (SlowFast) consumed whole by the head
         return feats[-1] if isinstance(feats, list) else feats
 
+    def _neck_feat(self, feats, train, labels=None):
+        """Run the neck (e.g. TPN, reference recognizer
+        base.py with_neck path): multi-stage backbone features -> fused
+        feature + train-time auxiliary losses."""
+        if not isinstance(feats, (list, tuple)):
+            feats = [feats]
+        out, aux_losses = self.neck_m(list(feats), train=train,
+                                      labels=labels)
+        if isinstance(out, (list, tuple)):
+            out = out[-1]
+        return out, aux_losses
+
     def forward_train(self, imgs, labels, train: bool = True
                       ) -> Dict[str, jnp.ndarray]:
         imgs = to_nthwc(imgs)
+        labels = labels.reshape(-1)
+        if self.neck_m is not None:
+            feats = self.backbone_m(imgs, train=train)
+            x, aux_losses = self._neck_feat(feats, train, labels)
+            cls_score = self.cls_head_m(x, train=train)
+            losses = dict(self.cls_head_m.loss(cls_score, labels))
+            losses.update(aux_losses)
+            return losses
         x = self.extract_feat(imgs, train=train)
         cls_score = self.cls_head_m(x, train=train)
-        labels = labels.reshape(-1)
         return self.cls_head_m.loss(cls_score, labels)
 
     def forward_test(self, imgs) -> jnp.ndarray:
         """(B, num_segs, C, T, H, W) -> (B, num_classes) averaged scores."""
         batches = imgs.shape[0]
         num_segs = imgs.shape[1] if imgs.ndim == 6 else 1
-        x = self.extract_feat(to_nthwc(imgs), train=False)
+        if self.neck_m is not None:
+            feats = self.backbone_m(to_nthwc(imgs), train=False)
+            x, _ = self._neck_feat(feats, False)
+        else:
+            x = self.extract_feat(to_nthwc(imgs), train=False)
         cls_score = self.cls_head_m(x, train=False)
         cls_score = cls_score.reshape(batches, num_segs, -1)
         average_clips = (self.test_cfg or {}).get('average_clips', None)

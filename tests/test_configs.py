@@ -39,7 +39,8 @@ def test_config_types_resolve(cfg_path):
             continue  # hooks/optimizers are Runner/optax built-ins
         if type_name in ('AvgConsensus', 'STPPTrain', 'STPPTest',
                          'MaxIoUAssignerAVA', 'RandomSampler',
-                         'resnet3d', 'non_local'):
+                         'resnet3d', 'non_local', 'AVARoIHead', 'BN3d',
+                         'avg', 'max'):
             # structural descriptors consumed by their owners (heads'
             # consensus, core.bbox assigner/sampler, slowfast pathways),
             # not registry-built modules
