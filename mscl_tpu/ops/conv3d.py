@@ -82,7 +82,8 @@ def set_conv3d_bwd_barrier(mode) -> None:
     global _BWD_BARRIER
     if mode in (True, False):
         mode = '1' if mode else '0'
-    assert mode in ('0', '1', 'gi', 'gi64', 'giflip', 'giflip64'), mode
+    assert mode in ('0', '1', 'gi', 'gi64', 'giflip', 'giflip64',
+                    'gibarflip64'), mode
     _BWD_BARRIER = mode
 
 
@@ -193,6 +194,18 @@ def _conv3d_barrier_bwd(stride, padding, res, g):
         wf = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
         dx = _conv3d_xla(g, wf, (1, 1, 1),
                          tuple(k // 2 for k in kernel.shape[:3]))
+        return dx, dw
+    if mode == 'gibarflip64' and _is_gi64_class(kernel) and \
+            _flip_conv_applicable(kernel, stride, padding):
+        # barrier AND forward-form rewrite: materialize the cotangent,
+        # then run dx as a clean forward conv over it (neither move
+        # helped alone — this tests whether together they reach the
+        # 92 TF/s forward rate)
+        gb = lax.optimization_barrier(g)
+        wf = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+        dx = _conv3d_xla(gb, wf, (1, 1, 1),
+                         tuple(k // 2 for k in kernel.shape[:3]))
+        _, dw = vjp(g)
         return dx, dw
     return vjp(g)
 
