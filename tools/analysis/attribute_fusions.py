@@ -59,6 +59,9 @@ def main():
     p.add_argument('--hlo-out', default='/tmp/mscl_step_hlo.txt')
     p.add_argument('--top', type=int, default=40)
     p.add_argument('--reuse-hlo', action='store_true')
+    p.add_argument('--self-trace', action='store_true',
+                   help='run + trace the step in this process (one '
+                        'compile serves both HLO and timings)')
     args = p.parse_args()
 
     if args.reuse_hlo:
@@ -95,6 +98,14 @@ def main():
             f.write(txt)
         print(f'wrote {len(txt)} bytes of HLO to {args.hlo_out}',
               file=sys.stderr)
+        if args.self_trace:
+            for _ in range(3):
+                state, log_vars = step(state, batch)
+            float(jax.device_get(log_vars['loss']))
+            with jax.profiler.trace(args.trace_dir):
+                for _ in range(3):
+                    state, log_vars = step(state, batch)
+                float(jax.device_get(log_vars['loss']))
 
     times = load_trace_times(args.trace_dir)
     comps = parse_hlo_computations(txt)
