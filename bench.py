@@ -102,15 +102,25 @@ def host_loop(args):
                          workers_mode='process'
                          if args.host_workers else 'thread',
                          prefetch=4)
-    it = iter(loader)
-    first = next(it)          # absorbs worker startup
+
+    def batch_stream():
+        epoch = 0
+        while True:
+            loader.set_epoch(epoch)
+            it = iter(loader)
+            for b in it:
+                yield b
+            it.close()
+            epoch += 1
+
+    stream = batch_stream()
+    first = next(stream)          # absorbs worker startup
     t0 = time.time()
     host_batches = 0
     for _ in range(args.host_measure_batches):
-        next(it)
+        next(stream)
         host_batches += 1
     host_dt = time.time() - t0
-    it.close()
     host_rate = host_batches * bs / host_dt
     per_worker = host_rate / max(args.host_workers, 1)
     print(f'host pipeline alone: {host_rate:.1f} samples/s '
@@ -144,18 +154,15 @@ def host_loop(args):
     float(jax.device_get(log_vars['loss']))
     print(f'warmup+compile: {time.time() - t0:.1f}s', file=sys.stderr)
 
-    it = iter(loader)
     steps = 0
     t0 = time.time()
-    for batch in it:
+    while steps < args.steps:
+        batch = next(stream)
         batch = {k: v for k, v in batch.items() if k != 'label'}
         state, log_vars = step(state, shard_batch(batch, mesh))
         steps += 1
-        if steps >= args.steps:
-            break
     last_loss = float(jax.device_get(log_vars['loss']))
     dt = time.time() - t0
-    it.close()
     loader.shutdown()
     per_chip = steps * bs / dt / n_chips
     print(f'{steps} steps with host decode in loop in {dt:.2f}s '

@@ -83,7 +83,7 @@ def set_conv3d_bwd_barrier(mode) -> None:
     if mode in (True, False):
         mode = '1' if mode else '0'
     assert mode in ('0', '1', 'gi', 'gi64', 'giflip', 'giflip64',
-                    'gibarflip64'), mode
+                    'gibarflip64', 'gitie64'), mode
     _BWD_BARRIER = mode
 
 
@@ -195,6 +195,19 @@ def _conv3d_barrier_bwd(stride, padding, res, g):
         dx = _conv3d_xla(g, wf, (1, 1, 1),
                          tuple(k // 2 for k in kernel.shape[:3]))
         return dx, dw
+    if mode == 'gitie64' and _is_gi64_class(kernel) and \
+            _flip_conv_applicable(kernel, stride, padding):
+        # materialize g as a BY-PRODUCT of the grad-weight fusion: the
+        # tuple barrier ties (g, dw), so XLA can emit the dw fusion as a
+        # multi-output fusion that also writes g — the dx conv then
+        # reads a clean materialized cotangent without a dedicated
+        # materialization pass (vs gi64, which paid one).
+        _, dw = vjp(g)
+        g2, dw2 = lax.optimization_barrier((g, dw))
+        wf = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+        dx = _conv3d_xla(g2, wf, (1, 1, 1),
+                         tuple(k // 2 for k in kernel.shape[:3]))
+        return dx, dw2
     if mode == 'gibarflip64' and _is_gi64_class(kernel) and \
             _flip_conv_applicable(kernel, stride, padding):
         # barrier AND forward-form rewrite: materialize the cotangent,

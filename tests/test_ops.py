@@ -226,6 +226,7 @@ class TestConv3dRewrites:
         ('giflip', 6, 5),   # forward-form flipped-kernel grad-input
         ('giflip64', 64, 64),
         ('gibarflip64', 64, 64),
+        ('gitie64', 64, 64),
     ])
     def test_bwd_barrier_exact(self, mode, cin, cout):
         from mscl_tpu.ops import conv3d as c3
