@@ -160,14 +160,18 @@ class MSCLWithAug(nn.Module):
 
     def train_step(self, batch, train: bool = True):
         """(reference mscl.py:192-212): pulls [q, k] pairs for imgs and
-        each flow key from the batch, converts NCTHW -> NTHWC."""
-        im_q = to_nthwc(batch[self.im_key][0])
-        im_k = to_nthwc(batch[self.im_key][1])
+        each flow key from the batch, converts NCTHW -> NTHWC. Pixel
+        tensors are cast to the model dtype up front so the whole device
+        aug (flips, color wheel, jitter) runs at bf16 HBM traffic — the
+        towers cast at their first conv anyway."""
+        cast = (lambda x: to_nthwc(x).astype(self.dtype))
+        im_q = cast(batch[self.im_key][0])
+        im_k = cast(batch[self.im_key][1])
         aux_info = {}
         for fk in (self.flow_key if isinstance(self.flow_key, (list, tuple))
                    else (self.flow_key,)):
-            aux_info[f'{fk}_q'] = to_nthwc(batch[fk][0])
-            aux_info[f'{fk}_k'] = to_nthwc(batch[fk][1])
+            aux_info[f'{fk}_q'] = cast(batch[fk][0])
+            aux_info[f'{fk}_k'] = cast(batch[fk][1])
         for item in self.aux_info:
             aux_info[item] = batch[item]
         losses = self.forward_train(im_q, im_k, aux_info, train=train)

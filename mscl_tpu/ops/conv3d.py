@@ -36,10 +36,13 @@ from jax import lax
 #             (kt == 1: the T axis is trivially batchable; thin input
 #             channels: v5e microbench shows the 3-ch stem at 0.1% MFU
 #             under xla3d vs 5.2% under tap2d), xla3d otherwise.
-# Full-step v5e measurements (MSCL r18, bs32): all-xla3d 94.6 ms/step,
-# all-tap2d 172.9 ms/step (tap stacking triples conv input HBM traffic
-# on the all-3x3x3 RGB tower).
-_IMPL = os.environ.get('MSCL_CONV3D_IMPL', 'xla3d')
+# Full-step v5e measurements (MSCL r18, bs32): at the round-2 half-res
+# flow shapes all-xla3d 94.6 ms/step, all-tap2d 172.9 (tap stacking
+# triples conv input HBM traffic on the all-3x3x3 RGB tower), auto 98.2.
+# At the corrected recipe shapes (flow at 112, round 3) 'auto' WINS:
+# 87.3 vs 93.9 ms/step — the kt==1 flow-tower convs are 4x bigger and
+# the 2D lowering pays; 'auto' is now the default.
+_IMPL = os.environ.get('MSCL_CONV3D_IMPL', 'auto')
 
 
 def set_conv3d_impl(impl: str) -> None:
