@@ -268,7 +268,7 @@ class ResNet3d(nn.Module):
                     spatial_stride=ss if b == 0 else 1,
                     temporal_stride=ts if b == 0 else 1,
                     dilation=self.dilations[i],
-                    inflate=bool(inflations[b] if isinstance(
+                    inflate=bool(inflations[i][b] if isinstance(
                         inflations[i], (list, tuple))
                         else inflations[i]),
                     downsample=need_ds, dtype=self.dtype,

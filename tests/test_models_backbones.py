@@ -249,3 +249,22 @@ def test_resnet3d_nonlocal_wiring():
     assert 'layer2_1_nonlocal' not in variables['params']
     out = bb.apply(variables, x)
     assert out.shape[-1] == 8 * 8   # layer4 of basic r18 @ base 8
+
+
+def test_resnet3d_per_block_inflate():
+    """Reference i3d inflate spec: per-STAGE tuples of per-BLOCK flags
+    (e.g. (1, 0, 1, 0) for a 4-block stage) — round-3 bug fix: the
+    per-block flag indexed the stage tuple with the block index."""
+    from mscl_tpu.models.backbones.resnet3d import ResNet3d
+    bb = ResNet3d(depth=50, base_channels=8,
+                  inflate=((1, 1, 1), (1, 0, 1, 0), (1, 0, 1, 0, 1, 0),
+                           (0, 1, 0)))
+    x = jnp.ones((1, 4, 32, 32, 3), jnp.float32)
+    variables = bb.init(jax.random.PRNGKey(0), x)
+    # inflated blocks get (3,1,1) conv1 kernels; non-inflated (1,1,1)
+    p = variables['params']
+    assert p['layer2_0']['conv1']['conv']['kernel'].shape[0] == 3
+    assert p['layer2_1']['conv1']['conv']['kernel'].shape[0] == 1
+    assert p['layer2_2']['conv1']['conv']['kernel'].shape[0] == 3
+    out = bb.apply(variables, x)
+    assert out.shape[-1] == 8 * 8 * 4
