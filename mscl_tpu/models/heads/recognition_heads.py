@@ -153,6 +153,7 @@ class SlowFastHead(BaseHead):
     num_classes: int = 400
     in_channels: int = 2304
     loss_cls: Any = None
+    spatial_type: str = 'avg'   # reference cfg surface; 'avg' pooling
     dropout_ratio: float = 0.8
     init_std: float = 0.01
     multi_class: bool = False

@@ -68,3 +68,35 @@ def test_config_model_constructs(cfg_path):
     model_cfg = {k: v for k, v in dict(cfg.model).items()}
     model = build_model_from_cfg(model_cfg)
     assert model is not None
+
+
+BASE_MODEL_INPUTS = {
+    '_base_/models/tsn_r50.py': ('2d', (1, 3, 3, 64, 64)),
+    '_base_/models/tsm_r50.py': ('2d', (1, 8, 3, 64, 64)),
+    '_base_/models/i3d_r50.py': ('3d', (1, 3, 8, 64, 64)),
+    '_base_/models/slowonly_r50.py': ('3d', (1, 3, 4, 64, 64)),
+    '_base_/models/slowfast_r50.py': ('3d', (1, 3, 32, 64, 64)),
+}
+
+
+@pytest.mark.parametrize('rel,spec', list(BASE_MODEL_INPUTS.items()),
+                         ids=[osp.basename(k) for k in BASE_MODEL_INPUTS])
+def test_base_model_init_traces(rel, spec):
+    """jax.eval_shape the full init — runs setup() and the forward
+    trace (catching unexpected-kwarg and shape bugs that lazy dataclass
+    construction hides) with zero FLOPs."""
+    import jax
+    import numpy as np
+
+    from mscl_tpu.apis.train import build_model_from_cfg
+    cfg = Config.fromfile(osp.join(CFG_ROOT, rel))
+    model = build_model_from_cfg(dict(cfg['model']))
+    _, shape = spec
+    batch = {'imgs': np.zeros(shape, np.float32),
+             'label': np.zeros((shape[0],), np.int64)}
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(0),
+            'moco': jax.random.PRNGKey(0)}
+    shapes = jax.eval_shape(
+        lambda b: model.init(rngs, b, method='train_step'), batch)
+    assert 'params' in shapes
