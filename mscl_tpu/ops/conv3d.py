@@ -273,8 +273,17 @@ def _conv3d_tap2d(x, kernel, stride, padding):
     t_out = (t_pad - kt) // st + 1
 
     if kt == 1:
-        x2 = x[:, ::st] if st > 1 else x
-        x2 = x2[:, :t_out].reshape(n * t_out, h, w, c)
+        if st > 1 and t_pad % st == 0:
+            # grad-friendly temporal subsample: reshape + plain slice.
+            # A strided slice's transpose is a scatter (XLA lowers it to
+            # while-loops + layout copies, ~2 ms/step measured); a plain
+            # slice's transpose is a cheap zero-pad.
+            x2 = x.reshape(n, t_pad // st, st, h, w, c)[:, :t_out, 0]
+        elif st > 1:
+            x2 = x[:, ::st][:, :t_out]
+        else:
+            x2 = x[:, :t_out]
+        x2 = x2.reshape(n * t_out, h, w, c)
         k2 = kernel.reshape(kh, kw, c, f)
     else:
         # kt strided temporal taps, folded into channels

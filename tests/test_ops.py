@@ -193,9 +193,14 @@ class TestConv3dRewrites:
         from mscl_tpu.ops import conv3d as c3
         c3.set_conv3d_s2d(False)
         c3.set_conv3d_bwd_barrier(False)
-        out = c3.conv3d(x, w, stride, pad)
-        g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
-            c3.conv3d(a, b, stride, pad))), argnums=(0, 1))(x, w)
+        prev = c3.get_conv3d_impl()
+        c3.set_conv3d_impl('xla3d')   # oracle: the direct lowering
+        try:
+            out = c3.conv3d(x, w, stride, pad)
+            g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
+                c3.conv3d(a, b, stride, pad))), argnums=(0, 1))(x, w)
+        finally:
+            c3.set_conv3d_impl(prev)
         return out, g
 
     @pytest.mark.parametrize('cin,stride', [(3, (1, 2, 2)),
@@ -214,6 +219,30 @@ class TestConv3dRewrites:
                 argnums=(0, 1))(x, w)
         finally:
             c3.set_conv3d_s2d(False)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+        for a, b in zip(g, gref):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize('kernel,stride,pad,cin', [
+        ((1, 3, 3), (1, 2, 2), (0, 1, 1), 16),   # flow-layer class
+        ((1, 7, 7), (2, 2, 2), (0, 3, 3), 2),    # flow stem: strided T
+        ((1, 1, 1), (2, 2, 2), (0, 0, 0), 16),   # strided downsample
+        ((3, 7, 7), (1, 2, 2), (1, 3, 3), 3),    # r3d stem (kt fold)
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), 8),    # strided 3d block conv
+    ])
+    def test_tap2d_exact(self, kernel, stride, pad, cin):
+        from mscl_tpu.ops import conv3d as c3
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16, 16, cin))
+        w = jax.random.normal(jax.random.PRNGKey(1),
+                              kernel + (cin, 8)) * 0.1
+        ref, gref = self._ref(x, w, stride, pad)
+        c3.set_conv3d_impl('tap2d')
+        try:
+            out = c3.conv3d(x, w, stride, pad)
+            g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
+                c3.conv3d(a, b, stride, pad))), argnums=(0, 1))(x, w)
+        finally:
+            c3.set_conv3d_impl('auto')
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
         for a, b in zip(g, gref):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
