@@ -72,3 +72,29 @@ def test_fastrcnn_reference_cfg_builds_ava_stack():
     # the mmdet-shaped cfg must reach the AVA components
     assert model.roi_head['bbox_head']['num_classes'] == 81
     assert model.train_cfg['rcnn']['assigner']['type'] == 'MaxIoUAssignerAVA'
+
+
+@pytest.mark.parametrize('rel', [
+    'detection/_base_/models/slowonly_r50.py',
+    'detection/_base_/models/slowonly_r50_nl.py',
+])
+def test_fastrcnn_reference_cfg_init_traces(rel):
+    """eval_shape the FULL init of reference FastRCNN configs (setup +
+    forward trace incl. the non-local blocks) — zero FLOPs, catches
+    setup-time kwarg/shape bugs that construction alone hides."""
+    import jax
+    import numpy as np
+    cfg = Config.fromfile(os.path.join(REF_CFG_ROOT, rel))
+    model = build_model(cfg['model'], train_cfg=cfg.get('train_cfg'),
+                        test_cfg=cfg.get('test_cfg'))
+    batch = {
+        'imgs': np.zeros((1, 3, 4, 64, 64), np.float32),
+        'rois': np.zeros((1, 4, 4), np.float32),
+        'roi_labels': np.zeros((1, 4, 81), np.float32),
+        'roi_weights': np.ones((1, 4), np.float32),
+    }
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(0)}
+    shapes = jax.eval_shape(
+        lambda b: model.init(rngs, b, method='train_step'), batch)
+    assert 'params' in shapes
