@@ -4,8 +4,12 @@
 Measures the full jitted MSCL training step (device aug + RGB r3d_18/TPN
 tower + slim flow tower x2 + InfoNCE over the 65536-slot queue +
 cross-modal + LMCL losses + SGD update + EMA) on synthetic device-resident
-batches at the reference recipe shapes (bs 32/chip, 8x112x112 RGB,
-2x8x56x56 raw flow — flow is stored at half resolution, SURVEY §2.3).
+batches at the reference recipe shapes: bs 32/chip, 8x112x112 RGB,
+2x16x112x112 raw flow. (Flow is STORED at half resolution but the recipe
+pipeline resizes it to the image scale before the model — round-3
+fidelity fix; rounds 1-2 benched flow at 56, overstating throughput by
+~23%.) `--host-loop` instead streams real on-disk JPEG+np4 batches
+through the recipe pipeline and the multi-process loader.
 
 Baseline: the reference publishes no MSCL throughput (SURVEY §6). We
 estimate the reference's A100 throughput from FLOPs: ~95 GFLOPs/clip
