@@ -280,6 +280,15 @@ class MelSpectrogram:
 
 
 @PIPELINES.register_module()
+class MelLogSpectrogram(MelSpectrogram):
+    """Reference-name alias: the reference's raw-audio configs reference
+    ``MelLogSpectrogram`` but ship no such pipeline anywhere in mmaction
+    (a registration gap, like MSCLWithAugPosHeadV2/TripletLoss) — the
+    obvious intent is the log-mel transform, which MelSpectrogram here
+    already computes (log is applied after the filterbank)."""
+
+
+@PIPELINES.register_module()
 class FormatAudioShape:
     """reference formating.py:359-392: (clips, T, F) -> (clips, 1, T, F)."""
 

@@ -103,7 +103,11 @@ class FlowVisualizer:
 
     def __call__(self, flows: jnp.ndarray) -> jnp.ndarray:
         u, v = flows[..., 0], flows[..., 1]
-        return flow_uv_to_colors(u, v, convert_to_bgr=False, div255=True)
+        # the wheel computes in f32 (exact floor-quantized ramps) but
+        # the result returns to the input dtype: downstream flips /
+        # normalize / stem conv then move bf16, not f32, through HBM
+        out = flow_uv_to_colors(u, v, convert_to_bgr=False, div255=True)
+        return out.astype(flows.dtype)
 
 
 # ---------------------------------------------------------- color math

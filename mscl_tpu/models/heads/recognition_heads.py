@@ -123,6 +123,7 @@ class X3DHead(BaseHead):
     num_classes: int = 400
     in_channels: int = 432
     mid_channels: int = 2048
+    spatial_type: str = 'avg'   # reference cfg surface; 'avg' pooling
     loss_cls: Any = None
     dropout_ratio: float = 0.5
     init_std: float = 0.01

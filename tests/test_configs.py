@@ -100,3 +100,66 @@ def test_base_model_init_traces(rel, spec):
     shapes = jax.eval_shape(
         lambda b: model.init(rngs, b, method='train_step'), batch)
     assert 'params' in shapes
+
+
+# full-config init traces: every recognition family's shipped recipe,
+# traced through setup + forward with eval_shape (zero FLOPs). Catches
+# cfg-to-module kwarg/shape mismatches that construction alone hides
+# (this class of check found the SlowFastHead spatial_type and TPN
+# wiring bugs in round 3).
+ZOO_INIT_SPECS = {
+    'recognition/c3d/c3d_sports1m_16x1x1_45e_ucf101_rgb.py':
+        ('imgs3d', (1, 3, 16, 112, 112)),
+    'recognition/x3d/x3d_s_13x6x1_facebook_kinetics400_rgb.py':
+        ('imgs3d', (1, 3, 13, 64, 64)),
+    'recognition/csn/ircsn_r152_32x2x1_180e_kinetics400_rgb.py':
+        ('imgs3d', (1, 3, 8, 64, 64)),
+    'recognition/r2plus1d/r2plus1d_r18_8x8x1_180e_kinetics400_rgb.py':
+        ('imgs3d', (1, 3, 8, 64, 64)),
+    'recognition/s3d/s3d_64x1x1_100e_kinetics400_rgb.py':
+        ('imgs3d', (1, 3, 16, 64, 64)),
+    'recognition/slowfast/slowfast_r101_8x8x1_256e_kinetics400_rgb.py':
+        ('imgs3d', (1, 3, 32, 64, 64)),
+    'recognition/slowonly/slowonly_r50_4x16x1_256e_kinetics400_flow.py':
+        ('imgs3d_flow', (1, 2, 4, 64, 64)),
+    'recognition/tanet/tanet_r50_1x1x8_100e_kinetics400_rgb.py':
+        ('imgs2d', (1, 8, 3, 64, 64)),
+    'recognition/tin/tin_r50_1x1x8_40e_sthv1_rgb.py':
+        ('imgs2d', (1, 8, 3, 64, 64)),
+    'recognition/trn/trn_r50_1x1x8_50e_sthv1_rgb.py':
+        ('imgs2d', (1, 8, 3, 64, 64)),
+    'recognition/mobilenet_v2/tsm_mobilenetv2_1x1x8_50e_kinetics400_rgb.py':
+        ('imgs2d', (1, 8, 3, 64, 64)),
+    'recognition/timesformer/timesformer_divST_8x32x1_15e_kinetics400_rgb.py':
+        ('imgs3d', (1, 3, 8, 224, 224)),
+    'recognition/tpn/tpn_slowonly_r50_8x8x1_150e_kinetics400_rgb.py':
+        ('imgs3d', (1, 3, 8, 64, 64)),
+    'recognition/tpn/tpn_tsm_r50_1x1x8_150e_sthv1_rgb.py':
+        ('imgs2d', (1, 8, 3, 64, 64)),
+    'recognition_audio/resnet/tsn_r50_64x1x1_100e_kinetics400_audio.py':
+        ('audio', (1, 1, 64, 80)),
+    'skeleton/posec3d/slowonly_r50_u48_240e_ntu60_xsub_keypoint.py':
+        ('imgs3d', (1, 17, 48, 56, 56)),
+}
+
+
+@pytest.mark.parametrize('rel,spec', list(ZOO_INIT_SPECS.items()),
+                         ids=[osp.basename(k).replace('.py', '')
+                              for k in ZOO_INIT_SPECS])
+def test_zoo_config_init_traces(rel, spec):
+    import jax
+    import numpy as np
+
+    from mscl_tpu.apis.train import build_model_from_cfg
+    cfg = Config.fromfile(osp.join(CFG_ROOT, rel))
+    model = build_model_from_cfg(dict(cfg['model']))
+    kind, shape = spec
+    key = 'audios' if kind == 'audio' else 'imgs'
+    batch = {key: np.zeros(shape, np.float32),
+             'label': np.zeros((shape[0],), np.int64)}
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(0),
+            'moco': jax.random.PRNGKey(0)}
+    shapes = jax.eval_shape(
+        lambda b: model.init(rngs, b, method='train_step'), batch)
+    assert 'params' in shapes
