@@ -43,6 +43,9 @@ def main():
     p.add_argument('--steps', type=int, default=50)
     p.add_argument('--warmup', type=int, default=3)
     p.add_argument('--dtype', default='bfloat16')
+    p.add_argument('--infer', action='store_true',
+                   help='measure forward-only (serving) throughput '
+                        'instead of a training step')
     args = p.parse_args()
 
     import jax
@@ -74,6 +77,36 @@ def main():
                               weight_decay=1e-4), lr,
                          grad_clip=dict(max_norm=40))
     state = init_state(model, tx, batch)
+
+    if args.infer:
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+
+        @jax.jit
+        def fwd(imgs):
+            return model.apply(variables, imgs, train=False,
+                               return_loss=False)
+
+        imgs = jnp.asarray(batch['imgs'])
+        t0 = time.time()
+        for _ in range(args.warmup):
+            out = fwd(imgs)
+        _ = np.asarray(jax.device_get(out[0, 0]))
+        print(f'infer warmup+compile {time.time() - t0:.1f}s',
+              file=sys.stderr)
+        t0 = time.time()
+        for _ in range(args.steps):
+            out = fwd(imgs)
+        _ = np.asarray(jax.device_get(out[0, 0]))
+        dt = time.time() - t0
+        print(json.dumps({
+            'model': args.model, 'mode': 'infer', 'batch': bs,
+            'input': list(shape),
+            'ms_per_batch': round(dt / args.steps * 1000, 2),
+            'clips_per_sec_per_chip': round(bs * args.steps / dt, 1),
+        }), flush=True)
+        return
+
     step = jax.jit(make_train_step(model, tx), donate_argnums=0)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
