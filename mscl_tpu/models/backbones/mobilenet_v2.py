@@ -54,6 +54,7 @@ class InvertedResidual(nn.Module):
     stride: int = 1
     expand_ratio: int = 6
     shift: bool = False
+    is_shift: bool = True          # reference cfg key gating the shift
     num_segments: int = 8
     shift_div: int = 8
     dtype: Any = jnp.float32
@@ -88,6 +89,7 @@ class MobileNetV2(nn.Module):
     frozen_stages: int = -1
     norm_eval: bool = False
     shift: bool = False
+    is_shift: bool = True          # reference cfg key gating the shift
     num_segments: int = 8
     shift_div: int = 8
     dtype: Any = jnp.float32
@@ -102,7 +104,8 @@ class MobileNetV2(nn.Module):
             out_c = _make_divisible(ch * self.widen_factor)
             for b in range(n):
                 x = InvertedResidual(
-                    out_c, s if b == 0 else 1, t, shift=self.shift,
+                    out_c, s if b == 0 else 1, t,
+                    shift=self.shift and self.is_shift,
                     num_segments=self.num_segments,
                     shift_div=self.shift_div, dtype=self.dtype,
                     name=f'layer{i + 1}_{b}')(x, train)

@@ -128,34 +128,75 @@ class ResNet(nn.Module):
     strides: Sequence[int] = (1, 2, 2, 2)
     frozen_stages: int = -1
     norm_eval: bool = False
+    norm_cfg: Any = None        # accepted cfg surface (BN semantics fixed)
     partial_bn: bool = False
     shift: bool = False            # TSM
+    is_shift: bool = True          # reference cfg key gating the shift
     num_segments: int = 8
     shift_div: int = 8
+    # TSM non-local variants (reference resnet_tsm.py: NonLocal3d over
+    # the segment axis) + temporal_pool (segment max-pool before layer2)
+    non_local: Any = (0, 0, 0, 0)
+    non_local_cfg: Any = None
+    temporal_pool: bool = False
     dtype: Any = jnp.float32
+
+    def _nl_flag(self, stage_idx, block_idx):
+        spec = self.non_local
+        if not spec:
+            return False
+        stage_spec = spec[stage_idx] if stage_idx < len(spec) else 0
+        if isinstance(stage_spec, (list, tuple)):
+            return bool(stage_spec[block_idx]) \
+                if block_idx < len(stage_spec) else False
+        return bool(stage_spec)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .resnet3d import NonLocal3d
         block_type, blocks = ARCH[self.depth]
         block_cls = BasicBlock2d if block_type == 'basic' else Bottleneck2d
         expansion = 1 if block_type == 'basic' else 4
+        bn_train = train and not self.norm_eval
         x = ConvBN2d(64, (7, 7), (2, 2), (3, 3), dtype=self.dtype,
-                     name='conv1')(x, train)
+                     name='conv1')(x, bn_train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)])
         outs = []
         in_planes = 64
+        segs = self.num_segments
         for i in range(self.num_stages):
+            if i == 1 and self.temporal_pool:
+                # reference resnet_tsm.py TemporalPool (wraps layer2):
+                # (3,1,1)/(2,1,1)/pad(1,0,0) max pool over segments
+                nhw = x.shape[1:]
+                xt = x.reshape((-1, segs) + nhw)
+                xt = jnp.pad(xt, ((0, 0), (1, 1)) + ((0, 0),) * len(nhw),
+                             constant_values=-jnp.inf)
+                xt = jnp.maximum(jnp.maximum(xt[:, 0:-2:2], xt[:, 1:-1:2]),
+                                 xt[:, 2::2])
+                segs = segs // 2
+                x = xt.reshape((-1,) + nhw)
             planes = 64 * (2 ** i)
             for b in range(blocks[i]):
                 stride = self.strides[i] if b == 0 else 1
                 need_ds = (b == 0) and (stride != 1 or
                                         in_planes != planes * expansion)
-                x = block_cls(planes, stride, need_ds, shift=self.shift,
-                              num_segments=self.num_segments,
+                x = block_cls(planes, stride, need_ds,
+                              shift=self.shift and self.is_shift,
+                              num_segments=segs,
                               shift_div=self.shift_div, dtype=self.dtype,
-                              name=f'layer{i + 1}_{b}')(x, train)
+                              name=f'layer{i + 1}_{b}')(x, bn_train)
                 in_planes = planes * expansion
+                if self._nl_flag(i, b):
+                    nl_cfg = dict(self.non_local_cfg or {})
+                    nl_cfg.pop('norm_cfg', None)
+                    nhw = x.shape[1:]
+                    xt = x.reshape((-1, segs) + nhw)  # segs as T
+                    xt = NonLocal3d(in_planes, dtype=self.dtype,
+                                    name=f'layer{i + 1}_{b}_nonlocal',
+                                    **nl_cfg)(xt, bn_train)
+                    x = xt.reshape((-1,) + nhw)
             outs.append(x)
         outs = [outs[i] for i in self.out_indices]
         return outs[0] if len(outs) == 1 else outs
@@ -173,6 +214,14 @@ class C3D(nn.Module):
     """C3D backbone (reference mmaction/models/backbones/c3d.py):
     VGG-style 3D convs over NTHWC clips."""
     pretrained: Any = None
+    # accepted reference cfg surface (c3d_sports1m.py model keys;
+    # conv/ReLU semantics fixed, dropout lives in the fc layers below)
+    style: str = 'pytorch'
+    conv_cfg: Any = None
+    norm_cfg: Any = None
+    act_cfg: Any = None
+    dropout_ratio: float = 0.5
+    init_std: float = 0.005
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -48,29 +48,39 @@ class NonLocal3d(nn.Module):
     reduction: int = 2
     use_scale: bool = True
     sub_sample: bool = False
-    mode: str = 'embedded_gaussian'
+    mode: str = 'embedded_gaussian'   # | 'gaussian' | 'dot_product'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        assert self.mode == 'embedded_gaussian', self.mode
+        assert self.mode in ('embedded_gaussian', 'gaussian',
+                             'dot_product'), self.mode
         ic = max(self.in_channels // self.reduction, 1)
         n, t, h, w, _ = x.shape
         kw = dict(use_bias=True, dtype=self.dtype,
                   kernel_init=kaiming_normal_fan_out())
-        theta = nn.Conv(ic, (1, 1, 1), name='theta', **kw)(x)
         kv_in = x
         if self.sub_sample:        # (1, 2, 2) max pool on phi/g inputs
             kv_in = nn.max_pool(x, (1, 2, 2), strides=(1, 2, 2))
-        phi = nn.Conv(ic, (1, 1, 1), name='phi', **kw)(kv_in)
         g = nn.Conv(ic, (1, 1, 1), name='g', **kw)(kv_in)
-        q = theta.reshape(n, t * h * w, ic)
-        k = phi.reshape(n, -1, ic)
+        if self.mode == 'gaussian':
+            # pairwise on the raw features (mmcv _NonLocalNd gaussian)
+            q = x.reshape(n, t * h * w, x.shape[-1])
+            k = kv_in.reshape(n, -1, x.shape[-1])
+        else:
+            theta = nn.Conv(ic, (1, 1, 1), name='theta', **kw)(x)
+            phi = nn.Conv(ic, (1, 1, 1), name='phi', **kw)(kv_in)
+            q = theta.reshape(n, t * h * w, ic)
+            k = phi.reshape(n, -1, ic)
         v = g.reshape(n, -1, ic)
         attn = jnp.einsum('nqc,nkc->nqk', q, k)
-        if self.use_scale:
-            attn = attn / jnp.sqrt(jnp.asarray(ic, attn.dtype))
-        attn = jax.nn.softmax(attn, axis=-1)
+        if self.mode == 'dot_product':
+            # mean-normalized, no softmax (mmcv dot_product pairwise)
+            attn = attn / jnp.asarray(attn.shape[-1], attn.dtype)
+        else:
+            if self.mode == 'embedded_gaussian' and self.use_scale:
+                attn = attn / jnp.sqrt(jnp.asarray(ic, attn.dtype))
+            attn = jax.nn.softmax(attn, axis=-1)
         y = jnp.einsum('nqk,nkc->nqc', attn, v).reshape(n, t, h, w, ic)
         y = nn.Conv(self.in_channels, (1, 1, 1), name='conv_out',
                     **kw)(y)
@@ -228,8 +238,16 @@ class ResNet3d(nn.Module):
                 if block_idx < len(stage_spec) else False
         return bool(stage_spec)
 
+    def _bn_train(self, train: bool) -> bool:
+        # norm_eval (and CSN's bn_frozen alias): BN uses running
+        # statistics even in training mode (reference resnet3d.py
+        # _freeze_stages/norm_eval semantics)
+        frozen = self.norm_eval or getattr(self, 'bn_frozen', False)
+        return train and not frozen
+
     @nn.compact
     def __call__(self, x, train: bool = False, laterals=None):
+        train = self._bn_train(train)
         block_type, default_blocks = ARCH_SETTINGS[self.depth]
         stage_blocks = self.stage_blocks or \
             default_blocks[:self.num_stages]
@@ -326,6 +344,9 @@ class ResNet3dSlowFast(nn.Module):
         slow_cfg.pop('type', None)
         fast_cfg.pop('type', None)
         lateral = slow_cfg.pop('lateral', True)
+        fusion_kernel = int(slow_cfg.pop('fusion_kernel', 5))
+        fast_cfg.pop('lateral', None)
+        fast_cfg.pop('fusion_kernel', None)
         slow_cfg.setdefault('with_pool2', False)
         fast_cfg.setdefault('with_pool2', False)
         slow_cfg.setdefault('pretrained', None)
@@ -348,12 +369,14 @@ class ResNet3dSlowFast(nn.Module):
             # layer2..4; each lateral is a (5,1,1)/stride-(alpha,1,1)
             # bias-free conv to 2x its input channels
             alpha = self.speed_ratio
+            fk = fusion_kernel
             srcs = [stem_fast, fast_outs[0], fast_outs[1], fast_outs[2]]
             for i, src in enumerate(srcs):
                 laterals[i] = nn.Conv(
-                    src.shape[-1] * 2, (5, 1, 1),
+                    src.shape[-1] * 2, (fk, 1, 1),
                     strides=(alpha, 1, 1),
-                    padding=[(2, 2), (0, 0), (0, 0)], use_bias=False,
+                    padding=[(fk // 2, fk // 2), (0, 0), (0, 0)],
+                    use_bias=False,
                     dtype=self.dtype, name=f'lateral_{i}')(src)
 
         slow = ResNet3dSlowOnly(dtype=self.dtype, name='slow_path',
@@ -373,6 +396,7 @@ class ResNet3dCSN(ResNet3d):
     conv2 is depthwise. Implemented by marking the conv2 depthwise via
     bottleneck_mode."""
     bottleneck_mode: str = 'ir'
+    bn_frozen: bool = False
     conv1_kernel: Sequence[int] = (3, 7, 7)
     conv1_stride_t: int = 1
     pool1_stride_t: int = 1
@@ -382,8 +406,8 @@ class ResNet3dCSN(ResNet3d):
 
     @nn.compact
     def __call__(self, x, train: bool = False, laterals=None):
-        assert self.bottleneck_mode in ('ir',), \
-            'only interaction-reduced CSN supported'
+        train = self._bn_train(train)
+        assert self.bottleneck_mode in ('ir', 'ip'), self.bottleneck_mode
         # reuse ResNet3d topology with a depthwise conv2 bottleneck
         block_type, default_blocks = ARCH_SETTINGS[self.depth]
         assert block_type == 'bottleneck', 'CSN requires depth >= 50'
@@ -411,6 +435,7 @@ class ResNet3dCSN(ResNet3d):
                 need_ds = (b == 0) and (s_sp != 1 or s_t != 1 or
                                         in_planes != planes * 4)
                 x = _CSNBottleneck(planes, s_sp, s_t, need_ds,
+                                   mode=self.bottleneck_mode,
                                    dtype=self.dtype,
                                    name=f'layer{i + 1}_{b}')(x, train)
                 in_planes = planes * 4
@@ -424,6 +449,7 @@ class _CSNBottleneck(nn.Module):
     spatial_stride: int = 1
     temporal_stride: int = 1
     downsample: bool = False
+    mode: str = 'ir'      # 'ir' | 'ip' (reference resnet3d_csn.py:21-63)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -431,6 +457,12 @@ class _CSNBottleneck(nn.Module):
         residual = x
         out = ConvBN(self.planes, (1, 1, 1), (1, 1, 1), (0, 0, 0),
                      dtype=self.dtype, name='conv1')(x, train)
+        if self.mode == 'ip':
+            # interaction-preserved: a bias-free 1x1x1 channel-mixing
+            # conv precedes the depthwise conv
+            out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
+                          kernel_init=kaiming_normal_fan_out(),
+                          dtype=self.dtype, name='conv2_ip')(out)
         # depthwise 3x3x3 (the channel separation)
         out_c = nn.Conv(self.planes, (3, 3, 3),
                         strides=(self.temporal_stride,

@@ -175,10 +175,13 @@ class ResNetTIN(nn.Module):
     is_tin: bool = True
     shift_div: int = 4
     pretrained: Any = None
+    norm_eval: bool = False
+    norm_cfg: Any = None          # accepted cfg surface
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        train = train and not self.norm_eval
         block_type, blocks = ARCH[self.depth]
         expansion = 1 if block_type == 'basic' else 4
         x = ConvBN2d(64, (7, 7), (2, 2), (3, 3), dtype=self.dtype,

@@ -115,6 +115,10 @@ class TimeSformer(nn.Module):
     num_transformer_layers: int = 12
     attention_type: str = 'divided_space_time'
     dropout_ratio: float = 0.0
+    # accepted reference cfg surface (timesformer config keys)
+    in_channels: int = 3
+    transformer_layers: Any = None    # None = the default stack
+    norm_cfg: Any = None              # LN semantics fixed
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -360,11 +360,30 @@ class ResNet2Plus1d(nn.Module):
     """R(2+1)D-18/34 (parity: reference
     mmaction/models/backbones/resnet2plus1d.py / torchvision
     r2plus1d_18): (2+1)D stem (1x7x7 then 3x1x1) + 4 stages of factorized
-    blocks."""
+    blocks.
+
+    Accepts the reference config surface (r2plus1d_r34.py passes
+    ResNet3d-style kwargs); the shipped values — conv1_kernel (3,7,7)
+    factorized by Conv2plus1d, temporal_strides (1,2,2,2), inflate all —
+    are exactly the fixed (2+1)D geometry implemented here, so they are
+    validated rather than re-plumbed."""
     depth: int = 18
     pretrained: Any = None
     base_width: int = 64
     layers: Any = None
+    # accepted reference cfg surface
+    pretrained2d: bool = False
+    norm_eval: bool = False
+    conv_cfg: Any = None
+    norm_cfg: Any = None
+    act_cfg: Any = None
+    conv1_kernel: Any = (3, 7, 7)
+    conv1_stride_t: int = 1
+    pool1_stride_t: int = 1
+    inflate: Any = (1, 1, 1, 1)
+    spatial_strides: Any = (1, 2, 2, 2)
+    temporal_strides: Any = (1, 2, 2, 2)
+    zero_init_residual: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact

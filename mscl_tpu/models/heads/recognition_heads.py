@@ -66,7 +66,8 @@ class TSNHead(_PoolFCHead):
 
 @HEADS.register_module()
 class TSMHead(_PoolFCHead):
-    """reference tsm_head.py (consensus over shifted segments)."""
+    """reference tsm_head.py (consensus over shifted segments; with
+    temporal_pool the backbone halved the segment count)."""
     num_segments: int = 8
     dropout_ratio: float = 0.8
     init_std: float = 0.001
@@ -75,6 +76,8 @@ class TSMHead(_PoolFCHead):
     @nn.compact
     def __call__(self, x, train: bool = False, num_segs: int = None):
         num_segs = num_segs or self.num_segments
+        if self.is_shift and self.temporal_pool:
+            num_segs = num_segs // 2
         return super().__call__(x, train=train, num_segs=num_segs)
 
 

@@ -30,8 +30,12 @@ class Recognizer2D(nn.Module):
         bb_cfg = dict(self.backbone)
         bb_type = bb_cfg.pop('type')
         bb_cfg.pop('pretrained', None)
-        self.backbone_m = BACKBONES.get(bb_type)(dtype=self.dtype,
-                                                 **bb_cfg)
+        factory = BACKBONES.get(bb_type)
+        if factory is None:
+            raise KeyError(
+                f'unknown backbone {bb_type!r} (external torchvision/'
+                f'timm/mmcls backbones are not in the registry)')
+        self.backbone_m = factory(dtype=self.dtype, **bb_cfg)
         if self.neck is not None:
             from ..builder import NECKS
             neck_cfg = dict(self.neck)

@@ -268,3 +268,84 @@ def test_resnet3d_per_block_inflate():
     assert p['layer2_2']['conv1']['conv']['kernel'].shape[0] == 3
     out = bb.apply(variables, x)
     assert out.shape[-1] == 8 * 8 * 4
+
+
+class TestRound3AuditFeatures:
+    """Features surfaced by the reference-config eval_shape audit:
+    TSM non-local/temporal_pool, ip-CSN, NonLocal modes, norm_eval."""
+
+    def test_tsm_nonlocal_over_segments(self):
+        bb = BACKBONES.get('ResNetTSM')(
+            depth=18, num_segments=4,
+            non_local=((0, 1), (0, 0), (0, 0), (0, 0)),
+            non_local_cfg=dict(sub_sample=True, use_scale=True,
+                               mode='embedded_gaussian'))
+        x = jnp.ones((8, 32, 32, 3), jnp.float32)   # 2 clips x 4 segs
+        variables = bb.init(jax.random.PRNGKey(0), x)
+        assert 'layer1_1_nonlocal' in variables['params']
+        out = bb.apply(variables, x)
+        assert out.shape[0] == 8
+
+    def test_tsm_temporal_pool_halves_segments(self):
+        bb = BACKBONES.get('ResNetTSM')(depth=18, num_segments=4,
+                                        temporal_pool=True)
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(8, 32, 32, 3)), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x)
+        out = bb.apply(variables, x)
+        # after layer1, segments pool 4 -> 2: batch halves
+        assert out.shape[0] == 4
+
+    @pytest.mark.parametrize('mode', ['gaussian', 'dot_product'])
+    def test_nonlocal_modes_run(self, mode):
+        from mscl_tpu.models.backbones.resnet3d import NonLocal3d
+        m = NonLocal3d(8, mode=mode, sub_sample=True)
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 2, 8, 8, 8)), jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(variables, x)
+        # zero-init gamma: identity at init
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                                   atol=1e-6)
+
+    def test_ip_csn(self):
+        bb = BACKBONES.get('ResNet3dCSN')(depth=50, base_channels=8,
+                                          bottleneck_mode='ip',
+                                          bn_frozen=True)
+        x = jnp.ones((1, 4, 32, 32, 3), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x)
+        assert 'conv2_ip' in variables['params']['layer1_0']
+        out, nv = bb.apply(variables, x, train=True,
+                           mutable=['batch_stats'])
+        # bn_frozen: training step must NOT update BN running stats
+        for o, n in zip(jax.tree.leaves(variables['batch_stats']),
+                        jax.tree.leaves(nv['batch_stats'])):
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(n))
+
+    def test_norm_eval_2d(self):
+        bb = BACKBONES.get('ResNet')(depth=18, norm_eval=True,
+                                     norm_cfg=dict(type='SyncBN'))
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 32, 32, 3)), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x)
+        _, nv = bb.apply(variables, x, train=True,
+                         mutable=['batch_stats'])
+        for o, n in zip(jax.tree.leaves(variables['batch_stats']),
+                        jax.tree.leaves(nv['batch_stats'])):
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(n))
+
+    def test_slowfast_fusion_kernel(self):
+        bb = BACKBONES.get('ResNet3dSlowFast')(
+            resample_rate=4, speed_ratio=4, channel_ratio=8,
+            slow_pathway=dict(type='resnet3d', depth=50, lateral=True,
+                              base_channels=8, conv1_kernel=(1, 7, 7),
+                              conv1_stride_t=1, pool1_stride_t=1,
+                              inflate=(0, 0, 1, 1), fusion_kernel=7),
+            fast_pathway=dict(type='resnet3d', depth=50, lateral=False,
+                              base_channels=1, conv1_kernel=(5, 7, 7),
+                              conv1_stride_t=1, pool1_stride_t=1))
+        x = jnp.ones((1, 3, 16, 32, 32), jnp.float32)
+        x = jnp.transpose(x, (0, 2, 3, 4, 1))
+        variables = bb.init(jax.random.PRNGKey(0), x)
+        k = variables['params']['lateral_0']['kernel']
+        assert k.shape[0] == 7          # fusion_kernel reaches the conv

@@ -98,3 +98,90 @@ def test_fastrcnn_reference_cfg_init_traces(rel):
     shapes = jax.eval_shape(
         lambda b: model.init(rngs, b, method='train_step'), batch)
     assert 'params' in shapes
+
+
+def _derive_batch(cfg):
+    """Best-effort input batch from a reference config's train pipeline
+    (shrunk spatial for cheap tracing); None if underivable (test-only /
+    inference configs)."""
+    import numpy as np
+    try:
+        pipe = cfg['data']['train']['pipeline']
+    except Exception:
+        return None
+    clip_len, num_clips, crop, fmt = 1, 1, 64, None
+    for t in pipe:
+        tt = t.get('type', '')
+        if 'SampleFrames' in tt:
+            clip_len = t.get('clip_len', 1)
+            num_clips = t.get('num_clips', 1)
+        if tt in ('RandomResizedCrop', 'RandomCrop', 'MultiScaleCrop'):
+            crop = t.get('input_size', t.get('size', 224))
+        if tt == 'Resize' and isinstance(t.get('scale'), (tuple, list)) \
+                and t['scale'][0] > 0:
+            crop = t['scale'][0]
+        if tt == 'FormatShape':
+            fmt = t.get('input_format')
+        if tt == 'FormatAudioShape':
+            fmt = 'NCTF'
+    if isinstance(crop, (tuple, list)):
+        crop = crop[0]
+    crop = min(int(crop), 64)
+    if isinstance(clip_len, dict):
+        clip_len = max(clip_len.values())
+    t_total = int(clip_len) * int(num_clips)
+    label = np.zeros((1,), np.int64)
+    if fmt == 'NCHW':
+        return {'imgs': np.zeros((1, t_total, 3, crop, crop),
+                                 np.float32), 'label': label}
+    if fmt == 'NCTHW':
+        c = 17 if 'Heatmap' in str(pipe) or 'Pose' in str(pipe) else 3
+        return {'imgs': np.zeros((1, c, int(clip_len), crop, crop),
+                                 np.float32), 'label': label}
+    if fmt == 'NCTF':
+        return {'audios': np.zeros((1, 1, 64, 80), np.float32),
+                'label': label}
+    return None
+
+
+def test_reference_recognition_configs_init_trace():
+    """eval_shape every reference recognition/audio/skeleton config's
+    model init (setup + forward trace, zero FLOPs): no config may fail
+    with a cfg-key (TypeError) error. The only allowed failures are the
+    three external-library backbones (torchvision/timm/mmcls — out of
+    registry by design, clean KeyError) and shape-underivable test-only
+    configs (skipped)."""
+    import jax
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(0),
+            'moco': jax.random.PRNGKey(0)}
+    kwarg_failures, other_failures, ok = [], [], 0
+    for sub in ('recognition', 'recognition_audio', 'skeleton'):
+        for dirpath, _, files in os.walk(os.path.join(REF_CFG_ROOT, sub)):
+            for f in sorted(files):
+                if not f.endswith('.py'):
+                    continue
+                p = os.path.join(dirpath, f)
+                cfg = Config.fromfile(p)
+                if 'model' not in cfg:
+                    continue
+                batch = _derive_batch(cfg)
+                if batch is None:
+                    continue
+                try:
+                    model = build_model(cfg['model'],
+                                        train_cfg=cfg.get('train_cfg'),
+                                        test_cfg=cfg.get('test_cfg'))
+                    jax.eval_shape(lambda b: model.init(
+                        rngs, b, method='train_step'), batch)
+                    ok += 1
+                except TypeError as e:
+                    kwarg_failures.append(f'{p}: {e}')
+                except KeyError as e:
+                    if 'external' not in str(e):
+                        other_failures.append(f'{p}: KeyError {e}')
+                except Exception as e:  # noqa: BLE001
+                    other_failures.append(f'{p}: {type(e).__name__} {e}')
+    assert not kwarg_failures, '\n'.join(kwarg_failures[:10])
+    assert not other_failures, '\n'.join(other_failures[:10])
+    assert ok >= 150, f'only {ok} reference configs traced'
