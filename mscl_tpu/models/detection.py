@@ -25,6 +25,32 @@ from .recognizers.recognizer3d import to_nthwc
 from ..ops.roi_align import roi_align
 
 
+def merge_pathways(feat, with_temporal_pool: bool = True,
+                   temporal_pool_mode: str = 'avg') -> jnp.ndarray:
+    """SlowFast pathway merge + temporal pool (reference
+    single_straight3d.py:75-93 and acrn misc_head.py do the same dance):
+    nearest-resize every pathway to the largest T and the first
+    pathway's spatial shape, optionally temporal-pool, concat
+    channels. Single tensors just get the pool."""
+    feats = feat if isinstance(feat, (tuple, list)) else (feat,)
+    if len(feats) >= 2:
+        max_t = max(f.shape[1] for f in feats)
+        h, w = feats[0].shape[2], feats[0].shape[3]
+        feats = [
+            f if f.shape[1:4] == (max_t, h, w) else jax.image.resize(
+                f, (f.shape[0], max_t, h, w, f.shape[-1]),
+                method='nearest')
+            for f in feats
+        ]
+    if with_temporal_pool:
+        if temporal_pool_mode == 'avg':
+            feats = [f.mean(axis=1, keepdims=True) for f in feats]
+        else:
+            feats = [f.max(axis=1, keepdims=True) for f in feats]
+    return feats[0] if len(feats) == 1 else jnp.concatenate(feats,
+                                                            axis=-1)
+
+
 @HEADS.register_module()
 class SingleRoIExtractor3D(nn.Module):
     roi_layer_type: str = 'RoIAlign'
@@ -38,14 +64,12 @@ class SingleRoIExtractor3D(nn.Module):
     with_global: bool = False
 
     @nn.compact
-    def __call__(self, feat: jnp.ndarray, rois: jnp.ndarray):
-        """feat: (N, T, H, W, C); rois: (R, 5). Returns
+    def __call__(self, feat, rois: jnp.ndarray):
+        """feat: (N, T, H, W, C) or a (slow, fast) pathway tuple
+        (SlowFast backbones); rois: (R, 5). Returns
         (R, T', output, output, C)."""
-        if self.with_temporal_pool:
-            if self.temporal_pool_mode == 'avg':
-                feat = feat.mean(axis=1, keepdims=True)
-            else:
-                feat = feat.max(axis=1, keepdims=True)
+        feat = merge_pathways(feat, self.with_temporal_pool,
+                              self.temporal_pool_mode)
         t = feat.shape[1]
         roi_feats = []
         for i in range(t):
@@ -167,7 +191,13 @@ class AVAFastRCNN(nn.Module):
         # ACRNHead (actor-context relation, reference misc_head.py) or
         # FBOHead (long-term feature bank, reference fbo_head.py)
         sh_cfg = rh.get('shared_head')
-        if sh_cfg:
+        if sh_cfg and sh_cfg.get('type') == 'LFBInferHead':
+            # host-side feature collector (reference lfb_infer_head.py):
+            # in-graph the RoI features pass through unchanged; the
+            # collection runs outside jit via heads/lfb.py::LFBInferHead
+            self.shared_head = None
+            self.shared_head_type = 'LFBInferHead'
+        elif sh_cfg:
             sh_cfg = dict(sh_cfg)
             sh_type = sh_cfg.pop('type')
             from .heads.lfb import ACRNHead, FBOHead
@@ -189,7 +219,10 @@ class AVAFastRCNN(nn.Module):
     def _roi_feats(self, feat, rois, train, lt_feat=None):
         roi_feats = self.roi_extractor(feat, rois)
         if self.shared_head_type == 'ACRNHead':
-            roi_feats = self.shared_head(roi_feats, feat, rois,
+            ctx = merge_pathways(feat,
+                                 self.roi_extractor.with_temporal_pool,
+                                 self.roi_extractor.temporal_pool_mode)
+            roi_feats = self.shared_head(roi_feats, ctx, rois,
                                          train=train)
         elif self.shared_head_type == 'FBOHead':
             if lt_feat is None:   # empty bank: the RoI's own pooled feat

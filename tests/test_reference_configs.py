@@ -185,3 +185,41 @@ def test_reference_recognition_configs_init_trace():
     assert not kwarg_failures, '\n'.join(kwarg_failures[:10])
     assert not other_failures, '\n'.join(other_failures[:10])
     assert ok >= 150, f'only {ok} reference configs traced'
+
+
+def test_reference_detection_configs_init_trace():
+    """eval_shape every reference detection config's FastRCNN init —
+    includes the SlowFast pathway-tuple RoI merge, non-local backbones,
+    LFB/ACRN shared heads."""
+    import jax
+    import numpy as np
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(0)}
+    failures, ok = [], 0
+    for dirpath, _, files in os.walk(
+            os.path.join(REF_CFG_ROOT, 'detection')):
+        for f in sorted(files):
+            if not f.endswith('.py'):
+                continue
+            p = os.path.join(dirpath, f)
+            cfg = Config.fromfile(p)
+            if 'model' not in cfg:
+                continue
+            nc = cfg['model']['roi_head']['bbox_head']['num_classes']
+            batch = {
+                'imgs': np.zeros((1, 3, 16, 64, 64), np.float32),
+                'rois': np.zeros((1, 4, 4), np.float32),
+                'roi_labels': np.zeros((1, 4, nc), np.float32),
+                'roi_weights': np.ones((1, 4), np.float32),
+            }
+            try:
+                model = build_model(cfg['model'],
+                                    train_cfg=cfg.get('train_cfg'),
+                                    test_cfg=cfg.get('test_cfg'))
+                jax.eval_shape(lambda b: model.init(
+                    rngs, b, method='train_step'), batch)
+                ok += 1
+            except Exception as e:  # noqa: BLE001
+                failures.append(f'{p}: {type(e).__name__} {e}')
+    assert not failures, '\n'.join(failures[:8])
+    assert ok == 22, f'traced {ok}, expected all 22'
