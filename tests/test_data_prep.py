@@ -8,6 +8,8 @@ import subprocess
 import sys
 
 import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 import pytest
 
 TOOLS = osp.join(osp.dirname(__file__), '..', 'tools', 'data')
@@ -130,3 +132,50 @@ class TestGenerateFilelist:
         assert 'Archery/v_B_g01_c01 8 1' in train
         test = (out / 'ucf101_val_split_1_rawframes.txt').read_text()
         assert test.strip() == 'Archery/v_B_g02_c02 6 1'
+
+
+def test_visualize_samples_cli(tmp_path):
+    """tools/misc/visualize_samples.py (the local-file equivalent of the
+    reference's nori-bound tools/misc/visualize.py + vis_flow.py)."""
+    import pickle
+    import subprocess
+    import sys
+
+    import cv2
+    import numpy as np
+
+    from mscl_tpu.utils.np4 import np4_encode
+    root = tmp_path / 'data'
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    annos = []
+    for v in range(2):
+        vdir = root / f'v{v}'
+        vdir.mkdir()
+        frames, flows = [], []
+        for i in range(8):
+            p = str(vdir / f'img_{i:05d}.jpg')
+            cv2.imwrite(p, rng.integers(0, 256, (32, 48, 3),
+                                        dtype=np.uint8))
+            frames.append(p)
+        for i in range(3):
+            p = str(vdir / f'flow_{i:05d}.np4')
+            with open(p, 'wb') as f:
+                f.write(np4_encode(
+                    rng.normal(size=(32, 48, 2)).astype(np.float32)))
+            flows.append(p)
+        annos.append(dict(frames=frames, enc_flows=flows, label=v))
+    pkl = tmp_path / 'train.pkl'
+    with open(pkl, 'wb') as f:
+        pickle.dump(annos, f)
+    out_dir = tmp_path / 'viz'
+    res = subprocess.run(
+        [sys.executable,
+         osp.join(REPO, 'tools/misc/visualize_samples.py'), str(pkl),
+         str(out_dir), '--num-videos', '2', '--frames-per-video', '2'],
+        capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stdout + res.stderr
+    sheets = list(out_dir.glob('*.jpg'))
+    assert len(sheets) == 2
+    img = cv2.imread(str(sheets[0]))
+    assert img is not None and img.shape[1] == 48 * 3   # 3 panels
