@@ -28,3 +28,6 @@ from .resnet_tin import ResNetTIN, TemporalInterlace, linear_sampler, \
 
 __all__ += ['ResNetAudio', 'ConvAudio', 'ResNetTIN', 'TemporalInterlace',
             'linear_sampler', 'tin_shift']
+from .extern_2d import DenseNet, ResNeXt, SwinTransformer
+
+__all__ += ['ResNeXt', 'DenseNet', 'SwinTransformer']
