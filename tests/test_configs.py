@@ -13,7 +13,7 @@ from mscl_tpu.models import MODELS, SSL_AUGS
 CFG_ROOT = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                     'configs')
 CONFIGS = [p for p in glob.glob(f'{CFG_ROOT}/**/*.py', recursive=True)
-           if '_base_' not in p]
+           if f'{osp.sep}_base_{osp.sep}' not in p]
 
 
 def iter_types(node, key_path=''):
@@ -136,6 +136,15 @@ ZOO_INIT_SPECS = {
         ('imgs3d', (1, 3, 8, 64, 64)),
     'recognition/tpn/tpn_tsm_r50_1x1x8_150e_sthv1_rgb.py':
         ('imgs2d', (1, 8, 3, 64, 64)),
+    'recognition/tsn/custom_backbones/'
+    'tsn_rn101_32x4d_1x1x3_100e_kinetics400_rgb.py':
+        ('imgs2d', (1, 3, 3, 64, 64)),
+    'recognition/tsn/custom_backbones/'
+    'tsn_dense161_1x1x3_100e_kinetics400_rgb.py':
+        ('imgs2d', (1, 3, 3, 64, 64)),
+    'recognition/tsn/custom_backbones/'
+    'tsn_swin_base_1x1x3_100e_kinetics400_rgb.py':
+        ('imgs2d', (1, 3, 3, 64, 64)),
     'recognition_audio/resnet/tsn_r50_64x1x1_100e_kinetics400_audio.py':
         ('audio', (1, 1, 64, 80)),
     'skeleton/posec3d/slowonly_r50_u48_240e_ntu60_xsub_keypoint.py':
