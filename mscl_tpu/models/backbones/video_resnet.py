@@ -90,9 +90,26 @@ class ConvBN(nn.Module):
             # measured SLOWER in the full step (81.6 vs 77.6 ms/step) —
             # the fold breaks XLA's conv-epilogue stat fusion; keep the
             # plain flax BN.
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name='bn')(x)
+            # MSCL_BN_IMPL=split selects the consumer-side-split backward
+            # (ops/split_bn.py): same forward numerics, but the BN-bwd
+            # reduces are barrier-detached from the grad-input conv
+            # fusion (the 48-TF/s layer1 pathology).
+            # MSCL_BN_SPLIT_MAXCH gates the split to the thin-channel
+            # class (default 64: stem+layer1, where the pathological
+            # 48-TF/s grad-input fusions and the f32 BN-residual copies
+            # live); wider layers keep the beneficial XLA fusion.
+            import os
+            maxch = int(os.environ.get('MSCL_BN_SPLIT_MAXCH', '64'))
+            if os.environ.get('MSCL_BN_IMPL') == 'split' \
+                    and self.features <= maxch:
+                from ...ops.split_bn import SplitBatchNorm
+                x = SplitBatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=self.dtype, name='bn')(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=self.dtype, name='bn')(x)
         if self.relu:
             x = nn.relu(x)
         return x

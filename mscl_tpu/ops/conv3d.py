@@ -141,11 +141,26 @@ def _conv3d_s2d_stem(x, kernel, stride, padding):
     return _conv3d_xla(xf, kf, (st, 1, 1), ((pt, pt), (2, 1), (2, 1)))
 
 
+_AUTO_V2 = os.environ.get('MSCL_CONV3D_AUTO_V2', '0') == '1'
+
+
 def _conv3d_dispatch(x, kernel, stride, padding):
     impl = _IMPL
     if impl == 'auto':
-        impl = 'tap2d' if (kernel.shape[0] == 1 or
-                           kernel.shape[3] < 16) else 'xla3d'
+        if _AUTO_V2:
+            # v2 rule: thin-channel convs (stems) stay tap2d (xla3d is
+            # 0.1% MFU there), temporal-stride-1 kt==1 convs (the flow
+            # tower) stay tap2d, but kt==1 convs that STRIDE the T axis
+            # (the r3d 1x1x1 downsamples) go xla3d — their tap2d grad
+            # chain pays pad/slice/copy (~1.5 ms/step, profile r3c).
+            # Differs from the round-3 'temporal-stride-1' experiment,
+            # which also reverted the thin-channel flow stem and lost.
+            impl = 'tap2d' if (kernel.shape[3] < 16 or
+                               (kernel.shape[0] == 1 and
+                                tuple(stride)[0] == 1)) else 'xla3d'
+        else:
+            impl = 'tap2d' if (kernel.shape[0] == 1 or
+                               kernel.shape[3] < 16) else 'xla3d'
     if impl == 'xla3d':
         return _conv3d_xla(x, kernel, stride, padding)
     if impl == 'sumtap':
