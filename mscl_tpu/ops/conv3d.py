@@ -141,7 +141,10 @@ def _conv3d_s2d_stem(x, kernel, stride, padding):
     return _conv3d_xla(xf, kf, (st, 1, 1), ((pt, pt), (2, 1), (2, 1)))
 
 
-_AUTO_V2 = os.environ.get('MSCL_CONV3D_AUTO_V2', '0') == '1'
+# default ON: full-program A/B on v5e at recipe shapes measured 82.3
+# vs 84.5 ms/step (the r3d 1x1x1 stride-2 downsamples' tap2d grad chain
+# was paying ~2 ms of pad/slice/copy). Set =0 for the round-3 v1 rule.
+_AUTO_V2 = os.environ.get('MSCL_CONV3D_AUTO_V2', '1') == '1'
 
 
 def _conv3d_dispatch(x, kernel, stride, padding):
