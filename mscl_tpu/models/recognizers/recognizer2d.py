@@ -44,10 +44,16 @@ class Recognizer2D(nn.Module):
                                                **neck_cfg)
         else:
             self.neck_m = None
-        head_cfg = dict(self.cls_head)
-        head_type = head_cfg.pop('type')
-        self.cls_head_m = HEADS.get(head_type)(dtype=self.dtype,
-                                               **head_cfg)
+        if self.cls_head is not None:
+            head_cfg = dict(self.cls_head)
+            head_type = head_cfg.pop('type')
+            self.cls_head_m = HEADS.get(head_type)(dtype=self.dtype,
+                                                   **head_cfg)
+        else:
+            # headless feature-extraction config (reference
+            # tsn_r50_clip_feature_extraction_*: cls_head absent,
+            # test_cfg.feature_extraction=True)
+            self.cls_head_m = None
 
     def _neck_feat(self, feat, num_segs, train, labels=None):
         """TPN-over-2D path (reference recognizer2d.py with_neck: each

@@ -100,13 +100,15 @@ def test_fastrcnn_reference_cfg_init_traces(rel):
     assert 'params' in shapes
 
 
-def _derive_batch(cfg):
-    """Best-effort input batch from a reference config's train pipeline
-    (shrunk spatial for cheap tracing); None if underivable (test-only /
-    inference configs)."""
+def _derive_batch(cfg, split='train'):
+    """Best-effort input batch from a reference config's pipeline
+    (shrunk spatial for cheap tracing); None if underivable."""
     import numpy as np
     try:
-        pipe = cfg['data']['train']['pipeline']
+        train = cfg['data'][split]
+        if isinstance(train, (list, tuple)):   # omnisource multi-source
+            train = train[0]
+        pipe = train['pipeline']
     except Exception:
         return None
     clip_len, num_clips, crop, fmt = 1, 1, 64, None
@@ -115,15 +117,22 @@ def _derive_batch(cfg):
         if 'SampleFrames' in tt:
             clip_len = t.get('clip_len', 1)
             num_clips = t.get('num_clips', 1)
-        if tt in ('RandomResizedCrop', 'RandomCrop', 'MultiScaleCrop'):
-            crop = t.get('input_size', t.get('size', 224))
+        if tt in ('RandomResizedCrop', 'RandomCrop', 'MultiScaleCrop',
+                  'CenterCrop', 'ThreeCrop', 'TenCrop'):
+            crop = t.get('input_size', t.get('size',
+                                             t.get('crop_size', 224)))
         if tt == 'Resize' and isinstance(t.get('scale'), (tuple, list)) \
                 and t['scale'][0] > 0:
             crop = t['scale'][0]
         if tt == 'FormatShape':
-            fmt = t.get('input_format')
+            # the reference mit config omits input_format (2D default)
+            fmt = t.get('input_format', 'NCHW')
         if tt == 'FormatAudioShape':
             fmt = 'NCTF'
+        if tt == 'Seg2T':
+            # ssl_test fine-tune: 16 1-frame segments -> one 16-frame
+            # clip NCTHW (reference loading_mscl.py:72-107)
+            clip_len, num_clips, fmt = num_clips * clip_len, 1, 'NCTHW'
     if isinstance(crop, (tuple, list)):
         crop = crop[0]
     crop = min(int(crop), 64)
@@ -133,6 +142,11 @@ def _derive_batch(cfg):
     label = np.zeros((1,), np.int64)
     if fmt == 'NCHW':
         return {'imgs': np.zeros((1, t_total, 3, crop, crop),
+                                 np.float32), 'label': label}
+    if fmt == 'NCHW_Flow':
+        # (N, num_clips, 2*clip_len, H, W): stacked x/y flow frames
+        return {'imgs': np.zeros((1, int(num_clips),
+                                  2 * int(clip_len), crop, crop),
                                  np.float32), 'label': label}
     if fmt == 'NCTHW':
         c = 17 if 'Heatmap' in str(pipe) or 'Pose' in str(pipe) else 3
@@ -165,15 +179,35 @@ def test_reference_recognition_configs_init_trace():
                 cfg = Config.fromfile(p)
                 if 'model' not in cfg:
                     continue
+                if 'moco/' in p:
+                    continue   # two-branch batches: dedicated test
+                               # (test_reference_moco_configs.py)
                 batch = _derive_batch(cfg)
+                method = 'train_step'
+                if batch is None:
+                    # inference/test-only configs: derive from the test
+                    # (or val) pipeline and trace the forward_test path
+                    batch = _derive_batch(cfg, 'test') or \
+                        _derive_batch(cfg, 'val')
+                    method = 'forward_test'
+                    if cfg['model'].get('cls_head') is None or \
+                            (cfg.get('test_cfg') or {}).get(
+                                'feature_extraction'):
+                        # headless feature-extraction configs: trace the
+                        # retrieval feature path instead
+                        method = 'extract_features_pooled'
                 if batch is None:
                     continue
                 try:
                     model = build_model(cfg['model'],
                                         train_cfg=cfg.get('train_cfg'),
                                         test_cfg=cfg.get('test_cfg'))
-                    jax.eval_shape(lambda b: model.init(
-                        rngs, b, method='train_step'), batch)
+                    if method != 'train_step':
+                        jax.eval_shape(lambda im: model.init(
+                            rngs, im, method=method), batch['imgs'])
+                    else:
+                        jax.eval_shape(lambda b: model.init(
+                            rngs, b, method='train_step'), batch)
                     ok += 1
                 except TypeError as e:
                     kwarg_failures.append(f'{p}: {e}')
