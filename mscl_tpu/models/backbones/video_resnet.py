@@ -98,10 +98,23 @@ class ConvBN(nn.Module):
             # class (default 64: stem+layer1, where the pathological
             # 48-TF/s grad-input fusions and the f32 BN-residual copies
             # live); wider layers keep the beneficial XLA fusion.
+            # Default 'lp': f32-stats/low-precision-normalize BN
+            # (ops/split_bn.py LowPrecisionBatchNorm). flax's f32
+            # promotion of the whole input rides the tap2d stem's
+            # relayout copies at double width and widens the BN
+            # elementwise/backward fusions; keeping the normalize in
+            # the model dtype measured 82.3 -> 79.4 ms/step on v5e
+            # (identical math in f32 models up to scale/offset
+            # folding). MSCL_BN_IMPL=flax reverts to nn.BatchNorm.
             import os
+            bn_impl = os.environ.get('MSCL_BN_IMPL', 'lp')
             maxch = int(os.environ.get('MSCL_BN_SPLIT_MAXCH', '64'))
-            if os.environ.get('MSCL_BN_IMPL') == 'split' \
-                    and self.features <= maxch:
+            if bn_impl == 'lp':
+                from ...ops.split_bn import LowPrecisionBatchNorm
+                x = LowPrecisionBatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=self.dtype, name='bn')(x)
+            elif bn_impl == 'split' and self.features <= maxch:
                 from ...ops.split_bn import SplitBatchNorm
                 x = SplitBatchNorm(
                     use_running_average=not train, momentum=0.9,

@@ -81,6 +81,66 @@ def _bn_bwd(eps, res, dy):
 bn_train_apply.defvjp(_bn_fwd, _bn_bwd)
 
 
+class LowPrecisionBatchNorm(nn.Module):
+    """``nn.BatchNorm``-compatible BN that keeps statistics in f32 but
+    performs the per-element normalization in the input dtype, with the
+    scale/offset folded to one multiply-add.
+
+    Why (v5e profile, round 3): flax promotes the whole input to f32
+    before normalizing, so wherever the promoted tensor cannot stay
+    inside a fusion it materializes at DOUBLE width — at the tap2d stem
+    the required 2D->5D relayout copy rides the f32 convert (2x ~0.7 ms
+    of the step's hot copies), and the BN elementwise/backward fusions
+    carry f32 operands. Here the f32 tensor feeds ONLY the stat reduces
+    (which XLA fuses convert-into-reduce, as in layer1), while the
+    normalize reads bf16 x: y = x*A + B with A = scale*rstd and
+    B = bias - mean*A folded in f32 then cast once ([C]-sized).
+
+    In f32 models this is arithmetically identical to flax up to the
+    scale/offset folding; in bf16 it changes only the rounding of the
+    normalize (stats, params, running averages stay f32). Backward is
+    plain autodiff — no custom VJP, XLA schedules freely (contrast
+    SplitBatchNorm below). Select with ``MSCL_BN_IMPL=lp``.
+    """
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        use_ra = (self.use_running_average if use_running_average is None
+                  else use_running_average)
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,),
+                          jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+        dt = x.dtype
+        if use_ra:
+            mean32, var32 = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean32 = xf.mean(axes)
+            var32 = jnp.maximum(
+                0., (xf * xf).mean(axes) - mean32 * mean32)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1. - self.momentum) *
+                                 lax.stop_gradient(mean32))
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1. - self.momentum) *
+                                lax.stop_gradient(var32))
+        a32 = scale * lax.rsqrt(var32 + self.epsilon)
+        b32 = bias - mean32 * a32
+        return x * a32.astype(dt) + b32.astype(dt)
+
+
 class SplitBatchNorm(nn.Module):
     """Drop-in for ``nn.BatchNorm`` (same param/stat names and dtypes)
     with the split-backward train path. Under pjit/GSPMD the batch

@@ -7,24 +7,25 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
-from mscl_tpu.ops.split_bn import SplitBatchNorm
+from mscl_tpu.ops.split_bn import LowPrecisionBatchNorm, SplitBatchNorm
 
 
-def _pair(dtype):
+def _pair(dtype, cls=SplitBatchNorm):
     flax_bn = nn.BatchNorm(use_running_average=False, momentum=0.9,
                            epsilon=1e-5, dtype=dtype)
-    split_bn = SplitBatchNorm(use_running_average=False, momentum=0.9,
-                              epsilon=1e-5, dtype=dtype)
+    split_bn = cls(use_running_average=False, momentum=0.9,
+                   epsilon=1e-5, dtype=dtype)
     return flax_bn, split_bn
 
 
+@pytest.mark.parametrize('cls', [SplitBatchNorm, LowPrecisionBatchNorm])
 @pytest.mark.parametrize('dtype,tol', [(jnp.float32, 1e-5),
                                        (jnp.bfloat16, 2e-2)])
-def test_split_bn_matches_flax(dtype, tol):
+def test_split_bn_matches_flax(dtype, tol, cls):
     np.random.seed(0)
     x = jnp.asarray(np.random.randn(4, 3, 6, 6, 8) * 2 + 1, dtype)
     w = jnp.asarray(np.random.randn(*x.shape), dtype)
-    flax_bn, split_bn = _pair(dtype)
+    flax_bn, split_bn = _pair(dtype, cls)
     vf = flax_bn.init(jax.random.PRNGKey(0), x)
     # non-trivial scale/bias
     p = {'scale': jnp.asarray(np.random.rand(8) + 0.5, jnp.float32),
@@ -67,11 +68,12 @@ def test_split_bn_matches_flax(dtype, tol):
                                    atol=tol * 50, rtol=tol)
 
 
-def test_split_bn_eval_matches_flax():
+@pytest.mark.parametrize('cls', [SplitBatchNorm, LowPrecisionBatchNorm])
+def test_split_bn_eval_matches_flax(cls):
     np.random.seed(1)
     x = jnp.asarray(np.random.randn(2, 4, 4, 8), jnp.float32)
     flax_bn = nn.BatchNorm(use_running_average=True, epsilon=1e-5)
-    split_bn = SplitBatchNorm(use_running_average=True, epsilon=1e-5)
+    split_bn = cls(use_running_average=True, epsilon=1e-5)
     stats = {'mean': jnp.asarray(np.random.randn(8), jnp.float32),
              'var': jnp.asarray(np.random.rand(8) + 0.3, jnp.float32)}
     p = {'scale': jnp.asarray(np.random.rand(8) + 0.5, jnp.float32),
@@ -82,8 +84,9 @@ def test_split_bn_eval_matches_flax():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_split_bn_convbn_env_switch(monkeypatch):
-    """ConvBN with MSCL_BN_IMPL=split builds the same param tree and
+@pytest.mark.parametrize('impl', ['split', 'lp'])
+def test_split_bn_convbn_env_switch(monkeypatch, impl):
+    """ConvBN with MSCL_BN_IMPL=split/lp builds the same param tree and
     matches the flax-BN ConvBN forward on shared weights."""
     from mscl_tpu.models.backbones.video_resnet import ConvBN
     np.random.seed(2)
@@ -91,7 +94,7 @@ def test_split_bn_convbn_env_switch(monkeypatch):
     blk = ConvBN(8, (3, 3, 3))
     v = blk.init({'params': jax.random.PRNGKey(0)}, x, train=True)
     y_flax, _ = blk.apply(v, x, train=True, mutable=['batch_stats'])
-    monkeypatch.setenv('MSCL_BN_IMPL', 'split')
+    monkeypatch.setenv('MSCL_BN_IMPL', impl)
     v2 = blk.init({'params': jax.random.PRNGKey(0)}, x, train=True)
     assert jax.tree_util.tree_structure(v2) == \
         jax.tree_util.tree_structure(v)
