@@ -30,6 +30,7 @@ from flax import linen as nn
 from ..builder import BACKBONES
 from .video_resnet import kaiming_normal_fan_out
 from .resnet2d import ConvBN2d
+from ...ops.split_bn import make_bn
 
 ARCH_NEXT = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
@@ -56,7 +57,7 @@ class BottleneckX(nn.Module):
                     feature_group_count=self.groups,
                     kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='conv2')(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name='bn2')(y)
         y = nn.relu(y)
         y = ConvBN2d(self.planes * 4, (1, 1), (1, 1), (0, 0), relu=False,
@@ -123,13 +124,13 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name='norm1')(x)
         y = nn.relu(y)
         y = nn.Conv(self.bn_size * self.growth_rate, (1, 1),
                     use_bias=False, kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='conv1')(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name='norm2')(y)
         y = nn.relu(y)
         y = nn.Conv(self.growth_rate, (3, 3), padding=[(1, 1), (1, 1)],
@@ -156,7 +157,7 @@ class DenseNet(nn.Module):
                     padding=[(3, 3), (3, 3)], use_bias=False,
                     kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='conv0')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name='norm0')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
@@ -170,7 +171,7 @@ class DenseNet(nn.Module):
             feats += layers * self.growth_rate
             if i != len(self.block_config) - 1:
                 # transition: BN-ReLU-Conv1x1(half) + avgpool/2
-                x = nn.BatchNorm(use_running_average=not train,
+                x = make_bn(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=jnp.float32,
                                  name=f'transition{i + 1}_norm')(x)
@@ -181,7 +182,7 @@ class DenseNet(nn.Module):
                             dtype=self.dtype,
                             name=f'transition{i + 1}_conv')(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name='norm5')(x)
         return nn.relu(x)
 

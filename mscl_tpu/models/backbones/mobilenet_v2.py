@@ -15,6 +15,7 @@ from flax import linen as nn
 from ..builder import BACKBONES
 from .resnet2d import temporal_shift
 from .video_resnet import kaiming_normal_fan_out
+from ...ops.split_bn import make_bn
 
 # (expand_ratio, channels, num_blocks, stride)
 ARCH = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
@@ -44,7 +45,7 @@ class _ConvBNReLU6(nn.Module):
                     feature_group_count=self.groups, use_bias=False,
                     kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='conv')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn')(x)
         return jnp.minimum(nn.relu(x), 6.0)
 
@@ -75,7 +76,7 @@ class InvertedResidual(nn.Module):
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='project')(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          name='project_bn')(y)
         return x + y if use_res else y

@@ -15,6 +15,7 @@ from flax import linen as nn
 
 from ..builder import BACKBONES
 from .video_resnet import kaiming_normal_fan_out
+from ...ops.split_bn import make_bn
 
 ARCH = {
     18: ('basic', (2, 2, 2, 2)),
@@ -39,7 +40,7 @@ class ConvBN2d(nn.Module):
                     padding=[(p, p) for p in self.padding], use_bias=False,
                     kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='conv')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name='bn')(x)
         return nn.relu(x) if self.relu else x
 

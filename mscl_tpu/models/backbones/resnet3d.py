@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from ..builder import BACKBONES
 from .video_resnet import ConvBN, kaiming_normal_fan_out
+from ...ops.split_bn import make_bn
 
 ARCH_SETTINGS = {
     18: ('basic', (2, 2, 2, 2)),
@@ -85,7 +86,7 @@ class NonLocal3d(nn.Module):
         y = nn.Conv(self.in_channels, (1, 1, 1), name='conv_out',
                     **kw)(y)
         # zero-init gamma: the block is an identity at initialization
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, scale_init=nn.initializers.zeros,
                          dtype=jnp.float32, name='bn_out')(y)
         return x + y
@@ -162,7 +163,7 @@ class Bottleneck3d(nn.Module):
                       use_bias=False,
                       kernel_init=kaiming_normal_fan_out(),
                       dtype=self.dtype, name='conv2_conv')(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        out = make_bn(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=jnp.float32,
                            name='conv2_bn')(out)
         out = nn.relu(out)
@@ -472,7 +473,7 @@ class _CSNBottleneck(nn.Module):
                         feature_group_count=self.planes, use_bias=False,
                         kernel_init=kaiming_normal_fan_out(),
                         dtype=self.dtype, name='conv2_dw')(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        out = make_bn(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype,
                            name='conv2_bn')(out_c)
         out = nn.relu(out)

@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from ..builder import BACKBONES
 from .video_resnet import kaiming_normal_fan_out
+from ...ops.split_bn import make_bn
 
 ARCH_AUDIO = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
@@ -39,7 +40,7 @@ class ConvAudio(nn.Module):
                         padding=pad, use_bias=False,
                         kernel_init=kaiming_normal_fan_out(),
                         dtype=self.dtype, name=f'{name}_conv')(x)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = make_bn(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f'{name}_bn')(y)
             return nn.relu(y)
@@ -70,7 +71,7 @@ class Bottleneck2dAudio(nn.Module):
                         padding=pad, use_bias=False,
                         kernel_init=kaiming_normal_fan_out(),
                         dtype=self.dtype, name=f'{name}_conv')(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = make_bn(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f'{name}_bn')(y)
             return nn.relu(y) if act else y

@@ -17,6 +17,7 @@ from flax import linen as nn
 
 from ..builder import BACKBONES
 from .resnet2d import ARCH, ConvBN2d
+from ...ops.split_bn import make_bn
 
 
 class TAM(nn.Module):
@@ -42,7 +43,7 @@ class TAM(nn.Module):
         g = nn.Dense(t * self.alpha, use_bias=False, dtype=self.dtype,
                      name='g_fc1')(g)
         g = nn.relu(
-            nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            make_bn(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name='g_bn')(g))
         g = nn.Dense(self.adaptive_kernel_size, use_bias=False,
                      dtype=self.dtype, name='g_fc2')(g)
@@ -55,7 +56,7 @@ class TAM(nn.Module):
                     use_bias=False, dtype=self.dtype, name='l_conv1')(
                         jnp.swapaxes(l, 1, 2))      # (N, T, C//beta)
         l = nn.relu(
-            nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            make_bn(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name='l_bn')(l))
         l = nn.Conv(c, (1,), padding=[(0, 0)], use_bias=False,
                     dtype=self.dtype, name='l_conv2')(l)  # (N, T, C)

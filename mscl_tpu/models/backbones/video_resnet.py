@@ -32,6 +32,7 @@ from flax import linen as nn
 from ..builder import BACKBONES
 from ...ops.conv3d import conv3d
 from ...ops.fast_bn import FastBatchNorm
+from ...ops.split_bn import make_bn
 
 # torch-parity initializers (fastonly.py:424-436 / torchvision defaults)
 conv_init = nn.initializers.variance_scaling(2.0, 'fan_out',
@@ -368,15 +369,15 @@ class R2Plus1dBlock(nn.Module):
         in_planes = x.shape[-1]
         out = self._conv2plus1d(x, in_planes, self.planes, self.stride,
                                 train, 'conv1')
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype,
-                           name='bn1')(out)
+        out = make_bn(use_running_average=not train, momentum=0.9,
+                      epsilon=1e-5, dtype=self.dtype,
+                      name='bn1')(out)
         out = nn.relu(out)
         out = self._conv2plus1d(out, self.planes, self.planes, 1, train,
                                 'conv2')
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype,
-                           name='bn2')(out)
+        out = make_bn(use_running_average=not train, momentum=0.9,
+                      epsilon=1e-5, dtype=self.dtype,
+                      name='bn2')(out)
         if self.downsample:
             residual = ConvBN(self.planes, (1, 1, 1),
                               (self.stride,) * 3, (0, 0, 0), relu=False,

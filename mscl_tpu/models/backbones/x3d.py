@@ -15,6 +15,7 @@ from flax import linen as nn
 
 from ..builder import BACKBONES
 from .video_resnet import kaiming_normal_fan_out
+from ...ops.split_bn import make_bn
 
 
 def _round_width(width, multiplier, min_width=8, divisor=8):
@@ -63,7 +64,7 @@ class BlockX3D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(y, name):
-            return nn.BatchNorm(use_running_average=not train,
+            return make_bn(use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5,
                                 dtype=jnp.float32, name=name)(y)
 
@@ -121,7 +122,7 @@ class X3D(nn.Module):
                   for b in self.stage_blocks]
 
         def bn(y, name):
-            return nn.BatchNorm(use_running_average=not train,
+            return make_bn(use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5,
                                 dtype=jnp.float32, name=name)(y)
 

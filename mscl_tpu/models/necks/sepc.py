@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import NECKS
+from ...ops.split_bn import make_bn
 
 pconv_init = nn.initializers.normal(stddev=0.01)
 
@@ -66,7 +67,7 @@ class PConv3D(nn.Module):
         if self.iBN:
             # integrated BN: one BN over all levels' flattened positions
             # (reference sepc.py:138-148)
-            bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            bn = make_bn(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, dtype=jnp.float32, name='ibn')
             shapes = [p.shape for p in next_x]
             flat = jnp.concatenate(

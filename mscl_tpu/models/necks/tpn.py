@@ -17,6 +17,7 @@ from flax import linen as nn
 from ..builder import NECKS, build_loss
 from .fpn import xavier_uniform
 from .fpn_video import TemporalModulation
+from ...ops.split_bn import make_bn
 
 
 class _ConvBnRelu3d(nn.Module):
@@ -34,7 +35,7 @@ class _ConvBnRelu3d(nn.Module):
                     feature_group_count=self.groups,
                     use_bias=False, kernel_init=xavier_uniform,
                     dtype=self.dtype, name='conv')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn')(x)
         return nn.relu(x)
 
@@ -152,7 +153,7 @@ class TPN(nn.Module):
                            padding=[(0, 0), (1, 1), (1, 1)],
                            use_bias=False, kernel_init=xavier_uniform,
                            dtype=self.dtype, name='aux_conv')(x[-2])
-            feat = nn.BatchNorm(use_running_average=not train,
+            feat = make_bn(use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5,
                                 dtype=self.dtype, name='aux_bn')(feat)
             feat = feat.mean(axis=(1, 2, 3))

@@ -34,10 +34,12 @@ from flax import linen as nn
 from jax import lax
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def bn_train_apply(x, scale, bias, eps):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bn_train_apply(x, scale, bias, eps, barrier=True):
     """Train-mode BN normalize (batch statistics), flax-equivalent
-    forward, analytic backward with barrier-detached reductions."""
+    forward, analytic backward with f32-accumulated reductions —
+    ``optimization_barrier``-detached when ``barrier`` (SplitBatchNorm),
+    freely schedulable otherwise (LowPrecisionBatchNorm)."""
     y, _ = _bn_forward(x, scale, bias, eps)
     return y
 
@@ -54,11 +56,11 @@ def _bn_forward(x, scale, bias, eps):
     return y, (x, scale, m, rstd)
 
 
-def _bn_fwd(x, scale, bias, eps):
+def _bn_fwd(x, scale, bias, eps, barrier=True):
     return _bn_forward(x, scale, bias, eps)
 
 
-def _bn_bwd(eps, res, dy):
+def _bn_bwd(eps, barrier, res, dy):
     x, scale, m, rstd = res
     dt = x.dtype
     axes = tuple(range(x.ndim - 1))
@@ -69,7 +71,10 @@ def _bn_bwd(eps, res, dy):
     # fusion. dy is multi-consumer (dx elementwise + grad-weight conv)
     # and therefore HBM-materialized regardless; the barrier only moves
     # the reduces into a separate re-reading fusion.
-    dyb, xhatb = lax.optimization_barrier((dy, xhat))
+    if barrier:
+        dyb, xhatb = lax.optimization_barrier((dy, xhat))
+    else:
+        dyb, xhatb = dy, xhat
     s1 = dyb.astype(jnp.float32).sum(axes)                 # = d_bias
     s2 = (dyb.astype(jnp.float32) *
           xhatb.astype(jnp.float32)).sum(axes)             # = d_scale
@@ -106,39 +111,53 @@ class LowPrecisionBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    scale_init: Any = nn.initializers.ones
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
         use_ra = (self.use_running_average if use_running_average is None
                   else use_running_average)
         c = x.shape[-1]
-        scale = self.param('scale', nn.initializers.ones, (c,),
-                           jnp.float32)
-        bias = self.param('bias', nn.initializers.zeros, (c,),
-                          jnp.float32)
+        scale = self.param('scale', self.scale_init, (c,), jnp.float32)
+        bias = self.param('bias', self.bias_init, (c,), jnp.float32)
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((c,), jnp.float32))
         dt = x.dtype
         if use_ra:
-            mean32, var32 = ra_mean.value, ra_var.value
-        else:
+            a32 = scale * lax.rsqrt(ra_var.value + self.epsilon)
+            b32 = bias - ra_mean.value * a32
+            return x * a32.astype(dt) + b32.astype(dt)
+        # train path: custom-VJP apply so the BACKWARD batch reductions
+        # accumulate in f32 (plain autodiff of a bf16 normalize leaves
+        # bf16-accumulated reduces over the 51M-element cotangent —
+        # observed in the step HLO); the f32 converts fuse into the
+        # reduces, so HBM reads stay bf16.
+        y = bn_train_apply(x, scale, bias, self.epsilon, False)
+        if not self.is_initializing():
             axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
+            xf = lax.stop_gradient(x).astype(jnp.float32)
             mean32 = xf.mean(axes)
-            var32 = jnp.maximum(
-                0., (xf * xf).mean(axes) - mean32 * mean32)
-            if not self.is_initializing():
-                ra_mean.value = (self.momentum * ra_mean.value +
-                                 (1. - self.momentum) *
-                                 lax.stop_gradient(mean32))
-                ra_var.value = (self.momentum * ra_var.value +
-                                (1. - self.momentum) *
-                                lax.stop_gradient(var32))
-        a32 = scale * lax.rsqrt(var32 + self.epsilon)
-        b32 = bias - mean32 * a32
-        return x * a32.astype(dt) + b32.astype(dt)
+            var32 = (xf * xf).mean(axes) - mean32 * mean32
+            ra_mean.value = (self.momentum * ra_mean.value +
+                             (1. - self.momentum) * mean32)
+            ra_var.value = (self.momentum * ra_var.value +
+                            (1. - self.momentum) * var32)
+        return y
+
+
+def make_bn(**kwargs):
+    """BatchNorm factory for backbone/neck call sites: returns
+    ``LowPrecisionBatchNorm`` (the measured-faster default, see class
+    docstring) or flax ``nn.BatchNorm`` under ``MSCL_BN_IMPL=flax``.
+    Accepts the standard flax BN kwargs (use_running_average, momentum,
+    epsilon, dtype, name)."""
+    import os
+    if os.environ.get('MSCL_BN_IMPL', 'lp') == 'lp':
+        return LowPrecisionBatchNorm(**kwargs)
+    return nn.BatchNorm(**kwargs)
 
 
 class SplitBatchNorm(nn.Module):
@@ -169,7 +188,7 @@ class SplitBatchNorm(nn.Module):
                              jnp.asarray(self.epsilon, dt))
             return ((x - ra_mean.value.astype(dt)) * rstd *
                     scale.astype(dt) + bias.astype(dt))
-        y = bn_train_apply(x, scale, bias, self.epsilon)
+        y = bn_train_apply(x, scale, bias, self.epsilon, True)
         if not self.is_initializing():
             axes = tuple(range(x.ndim - 1))
             xf = lax.stop_gradient(x).astype(jnp.float32)
