@@ -76,6 +76,9 @@ class Recognizer2D(nn.Module):
         return jnp.transpose(imgs, (0, 2, 3, 1)), num_segs
 
     def forward_train(self, imgs, labels, train: bool = True) -> Dict:
+        if self.cls_head_m is None:
+            raise ValueError('Recognizer2D built without cls_head (a '
+                             'feature-extraction config) cannot train')
         x, num_segs = self._frames_nhwc(imgs)
         feat = self.backbone_m(x, train=train)
         labels_flat = labels.reshape(-1)
@@ -102,6 +105,12 @@ class Recognizer2D(nn.Module):
         return self.cls_head_m.loss(cls_score, labels_flat)
 
     def forward_test(self, imgs) -> jnp.ndarray:
+        if self.cls_head_m is None or (self.test_cfg or {}).get(
+                'feature_extraction'):
+            # headless / feature_extraction configs: the test path
+            # returns pooled features (reference recognizer2d.py
+            # feature_extraction branch)
+            return self.extract_features_pooled(imgs)
         x, num_segs = self._frames_nhwc(imgs)
         feat = self.backbone_m(x, train=False)
         if self.neck_m is not None:

@@ -94,6 +94,11 @@ class Recognizer3D(nn.Module):
 
     def forward_test(self, imgs) -> jnp.ndarray:
         """(B, num_segs, C, T, H, W) -> (B, num_classes) averaged scores."""
+        if self.cls_head is None or (self.test_cfg or {}).get(
+                'feature_extraction'):
+            # headless / feature_extraction configs (reference
+            # recognizer3d.py:67-93 feature_extraction branch)
+            return self.extract_features_pooled(imgs)
         batches = imgs.shape[0]
         num_segs = imgs.shape[1] if imgs.ndim == 6 else 1
         if self.neck_m is not None:

@@ -51,7 +51,10 @@ def _bn_forward(x, scale, bias, eps):
     var32 = (xf * xf).mean(axes) - mean32 * mean32
     dt = x.dtype
     m = mean32.astype(dt)
-    rstd = lax.rsqrt(var32.astype(dt) + jnp.asarray(eps, dt))
+    # rsqrt in f32 ([C]-sized, free) so eps survives and train matches
+    # the eval path's f32 statistics math; only the per-element
+    # normalize rounds to the compute dtype.
+    rstd = lax.rsqrt(var32 + eps).astype(dt)
     y = (x - m) * rstd * scale.astype(dt) + bias.astype(dt)
     return y, (x, scale, m, rstd)
 
@@ -125,11 +128,21 @@ class LowPrecisionBatchNorm(nn.Module):
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((c,), jnp.float32))
+        # honor the flax `dtype` result-dtype semantics: call sites that
+        # pass dtype=f32 on a bf16 input are asking for f32 normalize +
+        # f32 output (e.g. explicit-f32 BN blocks); compute in the
+        # PROMOTED dtype (never narrow the stats input), return
+        # `self.dtype`.
+        if self.dtype is not None:
+            ct = jnp.promote_types(x.dtype, self.dtype)
+            if x.dtype != ct:
+                x = x.astype(ct)
         dt = x.dtype
+        out_dt = self.dtype or dt
         if use_ra:
             a32 = scale * lax.rsqrt(ra_var.value + self.epsilon)
             b32 = bias - ra_mean.value * a32
-            return x * a32.astype(dt) + b32.astype(dt)
+            return (x * a32.astype(dt) + b32.astype(dt)).astype(out_dt)
         # train path: custom-VJP apply so the BACKWARD batch reductions
         # accumulate in f32 (plain autodiff of a bf16 normalize leaves
         # bf16-accumulated reduces over the 51M-element cotangent —
@@ -145,7 +158,7 @@ class LowPrecisionBatchNorm(nn.Module):
                              (1. - self.momentum) * mean32)
             ra_var.value = (self.momentum * ra_var.value +
                             (1. - self.momentum) * var32)
-        return y
+        return y.astype(out_dt)
 
 
 def make_bn(**kwargs):

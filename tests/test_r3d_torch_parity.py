@@ -1169,3 +1169,55 @@ def test_nonlocal3d_matches_torch(sub_sample, use_scale):
     np.testing.assert_allclose(
         np.transpose(np.asarray(out), (0, 4, 1, 2, 3)),
         tout.numpy(), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('impl', ['flax', 'lp', 'split'])
+def test_convbn_train_mode_matches_torch(impl, monkeypatch):
+    """Train-mode (batch-statistics) ConvBN block math vs torch under
+    every BN implementation — output AND input gradient. Pins the
+    lp/split custom-VJP backward to torch's analytic BN backward
+    (CLAUDE.md: extend this campaign when touching block math)."""
+    from mscl_tpu.models.backbones.video_resnet import ConvBN
+    monkeypatch.setenv('MSCL_BN_IMPL', impl)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 4, 8, 8, 3)).astype(np.float32) * 2 + 0.5
+    w = rng.normal(size=(2, 4, 8, 8, 8)).astype(np.float32)
+    blk = ConvBN(8, (3, 3, 3))
+    with jax.default_matmul_precision('highest'):
+        variables = blk.init({'params': jax.random.PRNGKey(1)},
+                             jnp.asarray(x), train=True)
+        # non-trivial scale/bias
+        p = jax.device_get(variables['params'])
+        p['bn']['scale'] = rng.uniform(
+            0.5, 1.5, p['bn']['scale'].shape).astype(np.float32)
+        p['bn']['bias'] = rng.normal(
+            size=p['bn']['bias'].shape).astype(np.float32)
+        variables = {'params': jax.tree.map(jnp.asarray, p),
+                     'batch_stats': variables['batch_stats']}
+
+        def f(inp):
+            y, _ = blk.apply(variables, inp, train=True,
+                             mutable=['batch_stats'])
+            return (y * jnp.asarray(w)).sum(), y
+
+        with jax.checking_leaks():
+            (loss, y_jax), gx_jax = jax.value_and_grad(
+                f, has_aux=True)(jnp.asarray(x))
+
+    tconv = tnn.Conv3d(3, 8, 3, padding=1, bias=False)
+    tbn = tnn.BatchNorm3d(8, eps=1e-5)
+    copy_convbn(jax.device_get(variables['params']),
+                jax.device_get(variables['batch_stats']), tconv, tbn)
+    tconv.train(), tbn.train()
+    xt = torch.from_numpy(
+        np.transpose(x, (0, 4, 1, 2, 3)).copy()).requires_grad_(True)
+    yt = torch.relu(tbn(tconv(xt)))
+    (yt * torch.from_numpy(
+        np.transpose(w, (0, 4, 1, 2, 3)).copy())).sum().backward()
+
+    np.testing.assert_allclose(
+        np.asarray(y_jax), yt.detach().numpy().transpose(0, 2, 3, 4, 1),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gx_jax), xt.grad.numpy().transpose(0, 2, 3, 4, 1),
+        rtol=1e-3, atol=1e-3)

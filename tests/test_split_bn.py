@@ -92,6 +92,8 @@ def test_split_bn_convbn_env_switch(monkeypatch, impl):
     np.random.seed(2)
     x = jnp.asarray(np.random.randn(2, 3, 8, 8, 4), jnp.float32)
     blk = ConvBN(8, (3, 3, 3))
+    # baseline must be the real flax BN (the repo default is now 'lp')
+    monkeypatch.setenv('MSCL_BN_IMPL', 'flax')
     v = blk.init({'params': jax.random.PRNGKey(0)}, x, train=True)
     y_flax, _ = blk.apply(v, x, train=True, mutable=['batch_stats'])
     monkeypatch.setenv('MSCL_BN_IMPL', impl)

@@ -55,8 +55,12 @@ def main():
     paths = sorted(glob.glob(osp.join(args.frame_dir, '*.jpg')) +
                    glob.glob(osp.join(args.frame_dir, '*.png')))
     assert paths, f'no frames under {args.frame_dir}'
-    frames = [cv2.imread(f)[..., ::-1].astype(np.float32)
-              for f in paths]
+    frames = []
+    for f in paths:
+        im = cv2.imread(f)
+        if im is None:
+            sys.exit(f'unreadable image: {f}')
+        frames.append(im[..., ::-1].astype(np.float32))
     if args.resize:
         frames = [cv2.resize(f, tuple(args.resize)) for f in frames]
     n = len(frames)
