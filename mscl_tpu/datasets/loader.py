@@ -10,8 +10,10 @@ decode with device compute.
 from __future__ import annotations
 
 import multiprocessing
+import os
 import queue
 import random
+import sys
 import threading
 import time
 from typing import Any, Dict, List, Optional
@@ -57,6 +59,19 @@ def _pool_worker_main(dataset, task_q, result_q, seed, worker_id):
     Workers run only numpy/cv2 pipeline code — never JAX. Tasks carry a
     generation id so results from an abandoned epoch can never be
     mistaken for the next epoch's batches."""
+    # Decode workers must NEVER initialize the TPU backend: a second
+    # process attaching to the chip can deadlock the trainer, and if the
+    # TPU is unreachable the worker would hang at backend init. Force the
+    # CPU platform both for not-yet-imported jax (forkserver/spawn: env
+    # var is read at jax import, before the dataset unpickle can pull in
+    # model modules) and for inherited-import jax (fork: config.update is
+    # effective as long as this child never used a backend).
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    if 'jax' in sys.modules:
+        try:
+            sys.modules['jax'].config.update('jax_platforms', 'cpu')
+        except Exception:
+            pass
     np.random.seed((seed + worker_id) % (2 ** 32))
     random.seed(seed + worker_id)
     while True:

@@ -9,8 +9,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_SOBEL_X = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+# numpy on purpose: module-level jnp constants would initialize the JAX
+# backend at import time (decode workers import this package).
+_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
 _SOBEL_Y = _SOBEL_X.T
 
 

@@ -35,10 +35,14 @@ import numpy as np
 from ..builder import SSL_AUGS
 from ...utils.flow_viz import make_colorwheel
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+# Module-level constants stay numpy: a jnp.array here would initialize
+# the JAX backend at import time, which multiprocessing decode workers
+# (which import this package to unpickle datasets) must never do. They
+# become on-device constants when traced; dtype semantics are identical.
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
-_COLORWHEEL = jnp.asarray(make_colorwheel(), dtype=jnp.float32)  # (55, 3)
+_COLORWHEEL = np.asarray(make_colorwheel(), dtype=np.float32)  # (55, 3)
 
 
 # ------------------------------------------------------------- flow viz
