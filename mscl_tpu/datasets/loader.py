@@ -72,6 +72,11 @@ def _pool_worker_main(dataset, task_q, result_q, seed, worker_id):
             sys.modules['jax'].config.update('jax_platforms', 'cpu')
         except Exception:
             pass
+    try:  # one decode thread per worker — N workers already fill the
+        import cv2  # cores; cv2's internal pool would oversubscribe
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
     np.random.seed((seed + worker_id) % (2 ** 32))
     random.seed(seed + worker_id)
     while True:

@@ -213,10 +213,19 @@ def test_dryrun_multichip_other_sizes(n, tmp_path):
     n=2 and n=16 so the sharding layout is not 8-special."""
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)
-    out = subprocess.run(
-        [sys.executable, osp.join(REPO, '__graft_entry__.py'), 'dryrun',
-         str(n)],
-        capture_output=True, text=True, timeout=900, cwd=REPO, env=env)
+    for attempt in range(3):
+        out = subprocess.run(
+            [sys.executable, osp.join(REPO, '__graft_entry__.py'), 'dryrun',
+             str(n)],
+            capture_output=True, text=True, timeout=900, cwd=REPO, env=env)
+        # XLA:CPU in-process collectives abort (SIGABRT) if the n device
+        # threads don't all reach a rendezvous within a fixed 40s — on a
+        # loaded 1-core CI box that's a scheduling flake, not a sharding
+        # bug. Retry only that exact signature.
+        if out.returncode == -6 and 'rendezvous' in (out.stderr or '') \
+                and attempt < 2:
+            continue
+        break
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert f'dryrun_multichip({n}): one full MSCL train step OK' in \
         out.stdout
