@@ -143,6 +143,38 @@ class TestFRA:
         assert len(out['flow_imgs']) == 1
         assert len(out['rotated_flow_imgs']) == 1
 
+    def test_batched_helpers_match_per_frame_reference(self):
+        """The vectorized clip-level helpers must reproduce the scalar
+        reference functions: norm bit-identically, f32 rotate within the
+        documented <=2.5e-6 absolute envelope (the per-frame path
+        promotes to f64), f64 rotate bit-identically."""
+        from mscl_tpu.datasets.pipelines.transforms_motion import (
+            _norm_flow_frames, _rotate_flow_frames, rotate_flow)
+        rng = np.random.default_rng(0)
+        beta = 0.7345
+        for dtype, rot_exact in ((np.float32, False), (np.float64, True)):
+            flows = (rng.normal(size=(5, 17, 23, 2)) * 7).astype(dtype)
+            got_n = _norm_flow_frames(np.stack(list(flows)))
+            for i in range(5):
+                np.testing.assert_array_equal(got_n[i],
+                                              norm_flow(flows[i]))
+            got_r = _rotate_flow_frames(flows.copy(), beta)
+            for i in range(5):
+                ref = rotate_flow(flows[i], beta)
+                if rot_exact:
+                    np.testing.assert_array_equal(got_r[i], ref)
+                else:
+                    np.testing.assert_allclose(got_r[i], ref, atol=3e-6)
+
+    def test_moco_normalize_fused_divide_bit_identical(self):
+        imgs_q = make_imgs(4, seed=3)
+        imgs_k = make_imgs(4, seed=4)
+        out = MoCoNormalize()(dict(imgs=[list(imgs_q), list(imgs_k)]))
+        for idx, frames in enumerate((imgs_q, imgs_k)):
+            ref = (np.stack(frames).astype(np.float32) / 255.0
+                   ).transpose((3, 0, 1, 2))
+            np.testing.assert_array_equal(out['imgs'][idx], ref)
+
 
 class TestFlowViz:
 
