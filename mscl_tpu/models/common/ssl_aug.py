@@ -120,7 +120,10 @@ def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
     return (img * w).sum(-1, keepdims=True)
 
 
-def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
+def _rgb_to_hsv_channels(img: jnp.ndarray):
+    """(..., 3) RGB -> (h, s, v) channel tuple — unstacked so the
+    jitter's hue shift composes without a stack + scatter + re-split
+    round-trip at image scale."""
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
     maxc = jnp.max(img, axis=-1)
     minc = jnp.min(img, axis=-1)
@@ -134,20 +137,28 @@ def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
     h = jnp.where(maxc == r, bc - gc,
                   jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
     h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
-    return jnp.stack([h, s, v], axis=-1)
+    return h, s, v
 
 
-def hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack(_rgb_to_hsv_channels(img), axis=-1)
+
+
+def _hsv_to_rgb_channels(h: jnp.ndarray, s: jnp.ndarray,
+                         v: jnp.ndarray) -> jnp.ndarray:
     """Branchless HSV->RGB: f(n) = v - v*s*clip(min(k, 4-k), 0, 1) with
     k = (n + 6h) mod 6 — pure VPU arithmetic, no gathers (jnp.choose
     lowers to gathers that destroy TPU fusion throughput)."""
-    h, s, v = img[..., 0], img[..., 1], img[..., 2]
 
     def channel(n):
         k = (n + h * 6.0) % 6.0
         return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
 
     return jnp.stack([channel(5.0), channel(3.0), channel(1.0)], axis=-1)
+
+
+def hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    return _hsv_to_rgb_channels(img[..., 0], img[..., 1], img[..., 2])
 
 
 def _per(shape_b, t, per_frame, rng, lo, hi):
@@ -169,23 +180,30 @@ def color_jitter_video(rng, imgs: jnp.ndarray, brightness=0.4, contrast=0.4,
     k_apply, kb, kc, ks, kh = jax.random.split(rng, 5)
     apply = jax.random.bernoulli(k_apply, p, (b,))[:, None, None, None, None]
 
+    # factors sampled in f32, applied in the clip's dtype — otherwise an
+    # f32 factor silently promotes every jitter pass on a bf16 clip back
+    # to f32 (2x VPU width + HBM for stochastic-aug math)
+    dt = imgs.dtype
     out = imgs
     bf = _per(b, t, per_frame_params, kb, max(0., 1 - brightness),
-              1 + brightness)
+              1 + brightness).astype(dt)
     out = jnp.clip(out * bf, 0., 1.)
     cf = _per(b, t, per_frame_params, kc, max(0., 1 - contrast),
-              1 + contrast)
-    mean = rgb_to_gray(out).mean(axis=(2, 3, 4), keepdims=True)
+              1 + contrast).astype(dt)
+    # the clip-wide mean accumulates in f32 (a 100k-element bf16 sum
+    # would lose the mean itself), result back in the clip dtype
+    mean = rgb_to_gray(out).mean(axis=(2, 3, 4), keepdims=True,
+                                 dtype=jnp.float32).astype(dt)
     out = jnp.clip((out - mean) * cf + mean, 0., 1.)
     sf = _per(b, t, per_frame_params, ks, max(0., 1 - saturation),
-              1 + saturation)
+              1 + saturation).astype(dt)
     gray = rgb_to_gray(out)
     out = jnp.clip((out - gray) * sf + gray, 0., 1.)
     if hue:
-        hf = _per(b, t, per_frame_params, kh, -hue, hue)
-        hsv = rgb_to_hsv(out)
-        hsv = hsv.at[..., 0].set((hsv[..., 0] + hf[..., 0]) % 1.0)
-        out = jnp.clip(hsv_to_rgb(hsv), 0., 1.)
+        hf = _per(b, t, per_frame_params, kh, -hue, hue).astype(dt)
+        h, s, v = _rgb_to_hsv_channels(out)
+        h = (h + hf[..., 0]) % 1.0
+        out = jnp.clip(_hsv_to_rgb_channels(h, s, v), 0., 1.)
     return jnp.where(apply, out, imgs)
 
 
@@ -209,7 +227,9 @@ def gaussian_blur_video(rng, imgs: jnp.ndarray, sigma_range=(0.1, 2.0),
     half = radius // 2
     xs = jnp.arange(-half, half + 1, dtype=jnp.float32)
     kern1d = jnp.exp(-0.5 * (xs / sigma) ** 2)
-    kern1d = kern1d / kern1d.sum()
+    # kernel built in f32 (11 taps — precision matters), applied in the
+    # clip dtype so the depthwise convs don't promote bf16 clips to f32
+    kern1d = (kern1d / kern1d.sum()).astype(imgs.dtype)
     flat = imgs.reshape(b * t, h, w, c)
     # separable depthwise blur (two 1-D convs — VPU friendly) with
     # reflect borders (kornia GaussianBlur2d's default border_type)
@@ -234,7 +254,10 @@ def gaussian_blur_video(rng, imgs: jnp.ndarray, sigma_range=(0.1, 2.0),
 
 def normalize_video(imgs: jnp.ndarray, mean=IMAGENET_MEAN,
                     std=IMAGENET_STD) -> jnp.ndarray:
-    return (imgs - mean) / std
+    # constants applied in the clip dtype (f32 constants would promote a
+    # bf16 clip's final normalize pass; output is bf16 downstream anyway)
+    return (imgs - jnp.asarray(mean, imgs.dtype)) \
+        / jnp.asarray(std, imgs.dtype)
 
 
 def hflip_video(imgs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -335,6 +335,26 @@ class TestShuffleBN:
             np.linalg.norm(np.asarray(k), axis=1), 1.0, atol=1e-3)
 
 
+def test_color_jitter_bf16_stays_bf16_and_tracks_f32():
+    """The jitter applies f32-sampled factors in the clip dtype: a bf16
+    clip must come out bf16 (no silent f32 promotion of the aug math)
+    and stay within bf16 rounding of the f32 computation."""
+    import jax
+    from mscl_tpu.models.common.ssl_aug import color_jitter_video
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, size=(2, 4, 16, 16, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    out32 = color_jitter_video(key, jnp.asarray(imgs), p=1.0)
+    assert out32.dtype == jnp.float32
+    out16 = color_jitter_video(
+        key, jnp.asarray(imgs, jnp.bfloat16), p=1.0)
+    assert out16.dtype == jnp.bfloat16
+    # hue wraps at 1.0, so a ~bf16-eps hue difference can land on
+    # opposite sides of the wheel for a few pixels; compare the bulk
+    diff = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
+    assert np.quantile(diff, 0.999) < 0.05, diff.max()
+
+
 def test_gaussian_blur_reflect_borders():
     """Blur kernel + reflect border semantics match kornia's
     GaussianBlur2d (normalized gaussian window, border_type='reflect'),
