@@ -50,11 +50,13 @@ _COLORWHEEL = np.asarray(make_colorwheel(), dtype=np.float32)  # (55, 3)
 _SEG_STARTS = (0, 15, 21, 25, 36, 49, 55)
 
 
-def _wheel_at(k: jnp.ndarray) -> jnp.ndarray:
+def _wheel_channels(k: jnp.ndarray):
     """Evaluate the 55-entry color wheel at integer index k (..., ) ->
-    (..., 3) EXACTLY (floor-quantized ramps, values in [0, 255]) using a
-    branchless select cascade — table gathers destroy TPU fusion
-    throughput, arithmetic selects don't."""
+    (r, g, b) channel tuple EXACTLY (floor-quantized ramps, values in
+    [0, 255]) using a branchless select cascade — table gathers destroy
+    TPU fusion throughput, arithmetic selects don't. Channels stay
+    unstacked so the visualizer can cast each to the output dtype before
+    the one final stack (no f32 (..., 3) concat at image scale)."""
     k = k.astype(jnp.float32)
 
     def ramp(start, length):
@@ -75,12 +77,16 @@ def _wheel_at(k: jnp.ndarray) -> jnp.ndarray:
     b = jnp.where(k < s[2], 0.0,
         jnp.where(k < s[3], ramp(s[2], 4),
         jnp.where(k < s[5], 255.0, 255.0 - ramp(s[5], 6))))
-    return jnp.stack([r, g, b], axis=-1)
+    return r, g, b
+
+
+def _wheel_at(k: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack(_wheel_channels(k), axis=-1)
 
 
 def flow_uv_to_colors(u: jnp.ndarray, v: jnp.ndarray,
                       convert_to_bgr: bool = False,
-                      div255: bool = True) -> jnp.ndarray:
+                      div255: bool = True, out_dtype=None) -> jnp.ndarray:
     """(..., H, W) flow components -> (..., H, W, 3) color image.
     Bit-identical to the host color wheel (utils/flow_viz.py)."""
     ncols = _COLORWHEEL.shape[0]
@@ -90,15 +96,22 @@ def flow_uv_to_colors(u: jnp.ndarray, v: jnp.ndarray,
     k0 = jnp.floor(fk)
     k1 = jnp.where(k0 + 1 == ncols, 0, k0 + 1)
     f = fk - k0
-    col0 = _wheel_at(k0) / 255.0   # (..., 3)
-    col1 = _wheel_at(k1) / 255.0
-    col = (1 - f)[..., None] * col0 + f[..., None] * col1
-    inside = (rad <= 1)[..., None]
-    col = jnp.where(inside, 1 - rad[..., None] * (1 - col), col * 0.75)
-    img = jnp.floor(255 * col)
+    ch0 = _wheel_channels(k0)
+    ch1 = _wheel_channels(k1)
+    inside = rad <= 1
+    chans = []
+    for c0, c1 in zip(ch0, ch1):  # identical per-channel math to the
+        col = (1 - f) * (c0 / 255.0) + f * (c1 / 255.0)  # stacked form
+        col = jnp.where(inside, 1 - rad * (1 - col), col * 0.75)
+        ch = jnp.floor(255 * col)
+        if div255:
+            ch = ch / 255.0
+        if out_dtype is not None:
+            ch = ch.astype(out_dtype)
+        chans.append(ch)
     if convert_to_bgr:
-        img = img[..., ::-1]
-    return img / 255.0 if div255 else img
+        chans = chans[::-1]
+    return jnp.stack(chans, axis=-1)
 
 
 class FlowVisualizer:
@@ -108,10 +121,11 @@ class FlowVisualizer:
     def __call__(self, flows: jnp.ndarray) -> jnp.ndarray:
         u, v = flows[..., 0], flows[..., 1]
         # the wheel computes in f32 (exact floor-quantized ramps) but
-        # the result returns to the input dtype: downstream flips /
-        # normalize / stem conv then move bf16, not f32, through HBM
-        out = flow_uv_to_colors(u, v, convert_to_bgr=False, div255=True)
-        return out.astype(flows.dtype)
+        # each channel casts to the input dtype BEFORE the final stack:
+        # downstream flips / normalize / stem conv — and the stacked
+        # (..., 3) image itself — move bf16, not f32, through HBM
+        return flow_uv_to_colors(u, v, convert_to_bgr=False, div255=True,
+                                 out_dtype=flows.dtype)
 
 
 # ---------------------------------------------------------- color math

@@ -163,8 +163,10 @@ class MSCLWithAug(nn.Module):
         each flow key from the batch, converts NCTHW -> NTHWC. Pixel
         tensors are cast to the model dtype up front so the whole device
         aug (flips, color wheel, jitter) runs at bf16 HBM traffic — the
-        towers cast at their first conv anyway."""
-        cast = (lambda x: to_nthwc(x).astype(self.dtype))
+        towers cast at their first conv anyway. Cast BEFORE the
+        channels-last transpose: the transpose is a real layout copy, and
+        moving it to bf16 halves its bytes."""
+        cast = (lambda x: to_nthwc(x.astype(self.dtype)))
         im_q = cast(batch[self.im_key][0])
         im_k = cast(batch[self.im_key][1])
         aux_info = {}
