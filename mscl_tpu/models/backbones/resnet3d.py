@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from ..builder import BACKBONES
 from .video_resnet import ConvBN, kaiming_normal_fan_out
+from ...ops.conv3d import temporal_subsample
 from ...ops.split_bn import make_bn
 
 ARCH_SETTINGS = {
@@ -355,8 +356,9 @@ class ResNet3dSlowFast(nn.Module):
         slow_cfg.setdefault('out_indices', (0, 1, 2, 3))
         fast_cfg.setdefault('out_indices', (0, 1, 2, 3))
 
-        x_slow = x[:, ::self.resample_rate]
-        x_fast = x[:, ::max(self.resample_rate // self.speed_ratio, 1)]
+        x_slow = temporal_subsample(x, self.resample_rate)
+        x_fast = temporal_subsample(
+            x, max(self.resample_rate // self.speed_ratio, 1))
 
         fast = ResNet3dSlowOnly(dtype=self.dtype, name='fast_path',
                                 return_stem=True, **fast_cfg)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import BACKBONES
-from ...ops.conv3d import conv3d
+from ...ops.conv3d import conv3d, temporal_subsample
 from ...ops.fast_bn import FastBatchNorm
 from ...ops.split_bn import make_bn
 
@@ -259,7 +259,7 @@ class VideoResNet(nn.Module):
             x = ConvBN(self.base_width, (1, 7, 7), (1, 2, 2), (0, 3, 3),
                        dtype=self.dtype, name='stem')(x, stem_train)
         elif self.stem == 'flow_2d_v2':
-            x = x[:, ::2]
+            x = temporal_subsample(x, 2)
             x = ConvBN(self.base_width, (1, 7, 7), (1, 2, 2), (0, 3, 3),
                        dtype=self.dtype, name='stem')(x, stem_train)
         elif self.stem == 'flow_bottleneck':

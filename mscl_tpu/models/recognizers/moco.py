@@ -290,8 +290,8 @@ class _MoCoBase(nn.Module):
     def train_step(self, batch, train: bool = True):
         """(reference moco.py:442-458): batch[self.im_key] is the [q, k]
         pair list in NCTHW; aux_info keys are forwarded."""
-        im_q = to_nthwc(batch[self.im_key][0])
-        im_k = to_nthwc(batch[self.im_key][1])
+        im_q = to_nthwc(batch[self.im_key][0], self.dtype)
+        im_k = to_nthwc(batch[self.im_key][1], self.dtype)
         aux_info = {item: batch[item] for item in self.aux_info}
         losses = self.forward_train(im_q, im_k, aux_info, train=train)
         loss, log_vars = parse_losses(losses)

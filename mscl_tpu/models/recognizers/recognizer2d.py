@@ -70,9 +70,11 @@ class Recognizer2D(nn.Module):
         return out, aux_losses
 
     def _frames_nhwc(self, imgs):
-        # (B, num_segs, C, H, W) -> (B*num_segs, H, W, C)
+        # (B, num_segs, C, H, W) -> (B*num_segs, H, W, C); cast to the
+        # model dtype BEFORE the transpose (a real layout copy — bf16
+        # halves its bytes)
         num_segs = imgs.shape[1]
-        imgs = imgs.reshape((-1,) + imgs.shape[-3:])
+        imgs = imgs.astype(self.dtype).reshape((-1,) + imgs.shape[-3:])
         return jnp.transpose(imgs, (0, 2, 3, 1)), num_segs
 
     def forward_train(self, imgs, labels, train: bool = True) -> Dict:

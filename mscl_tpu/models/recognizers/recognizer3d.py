@@ -22,8 +22,12 @@ from ..builder import RECOGNIZERS, BACKBONES, HEADS
 from .base import parse_losses
 
 
-def to_nthwc(imgs: jnp.ndarray) -> jnp.ndarray:
-    """(..., C, T, H, W) -> (N, T, H, W, C), flattening leading dims."""
+def to_nthwc(imgs: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """(..., C, T, H, W) -> (N, T, H, W, C), flattening leading dims.
+    Pass the model dtype to cast BEFORE the transpose — the transpose is
+    a real layout copy and bf16 halves its bytes."""
+    if dtype is not None:
+        imgs = imgs.astype(dtype)
     imgs = imgs.reshape((-1,) + imgs.shape[-4:])
     return jnp.transpose(imgs, (0, 2, 3, 4, 1))
 
@@ -79,7 +83,7 @@ class Recognizer3D(nn.Module):
 
     def forward_train(self, imgs, labels, train: bool = True
                       ) -> Dict[str, jnp.ndarray]:
-        imgs = to_nthwc(imgs)
+        imgs = to_nthwc(imgs, self.dtype)
         labels = labels.reshape(-1)
         if self.neck_m is not None:
             feats = self.backbone_m(imgs, train=train)
@@ -102,10 +106,10 @@ class Recognizer3D(nn.Module):
         batches = imgs.shape[0]
         num_segs = imgs.shape[1] if imgs.ndim == 6 else 1
         if self.neck_m is not None:
-            feats = self.backbone_m(to_nthwc(imgs), train=False)
+            feats = self.backbone_m(to_nthwc(imgs, self.dtype), train=False)
             x, _ = self._neck_feat(feats, False)
         else:
-            x = self.extract_feat(to_nthwc(imgs), train=False)
+            x = self.extract_feat(to_nthwc(imgs, self.dtype), train=False)
         cls_score = self.cls_head_m(x, train=False)
         cls_score = cls_score.reshape(batches, num_segs, -1)
         average_clips = (self.test_cfg or {}).get('average_clips', None)
@@ -120,7 +124,7 @@ class Recognizer3D(nn.Module):
         global avg-pool each clip feature, mean over segments."""
         batches = imgs.shape[0]
         num_segs = imgs.shape[1] if imgs.ndim == 6 else 1
-        feat = self.extract_feat(to_nthwc(imgs), train=False)
+        feat = self.extract_feat(to_nthwc(imgs, self.dtype), train=False)
         if isinstance(feat, tuple):  # SlowFast pathways: pool + concat
             feat = jnp.concatenate(
                 [f.mean(axis=(1, 2, 3)) for f in feat], axis=-1)

@@ -104,6 +104,22 @@ def set_conv3d_s2d(on: bool) -> None:
     _S2D = bool(on)
 
 
+def temporal_subsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """x[:, ::stride] without a gather: jnp's strided basic indexing
+    lowers to stablehlo.gather (and its transpose to a scatter); the
+    exact-divisor form is a reshape + unit slice, the remainder form a
+    lax strided slice. Used for the SlowFast pathway split and the flow
+    stems' frame subsample."""
+    if stride <= 1:
+        return x
+    t = x.shape[1]
+    t_out = -(-t // stride)
+    if t % stride == 0:
+        shp = x.shape
+        return x.reshape((shp[0], t // stride, stride) + shp[2:])[:, :, 0]
+    return lax.slice_in_dim(x, 0, (t_out - 1) * stride + 1, stride, axis=1)
+
+
 def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
            stride: Tuple[int, int, int],
            padding: Tuple[int, int, int]) -> jnp.ndarray:

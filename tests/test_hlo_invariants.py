@@ -89,6 +89,53 @@ def test_no_f32_layout_transposes(step_hlo):
     assert not bad, bad
 
 
+@pytest.mark.parametrize('family,cfg_path,bs,shape', [
+    ('tsn', 'configs/_base_/models/tsn_r50.py', 8, (3, 3, 224, 224)),
+    ('slowfast', 'configs/_base_/models/slowfast_r50.py', 2,
+     (3, 32, 224, 224)),
+    ('x3d', 'configs/recognition/x3d/'
+     'x3d_m_16x5x1_facebook_kinetics400_rgb.py', 2, (3, 16, 224, 224)),
+])
+def test_zoo_step_free_of_image_scale_gathers(family, cfg_path, bs, shape):
+    """Zoo train steps must not gather/scatter or f32-transpose at image
+    scale: jnp's strided basic indexing (the SlowFast pathway split)
+    lowers to a gather, and f32 inputs must cast before the NTHWC
+    transpose. Abstract lowering only — no execution."""
+    import jax
+    import jax.numpy as jnp
+    from mscl_tpu.config import Config
+    from mscl_tpu.apis.train import build_model_from_cfg
+    from mscl_tpu.core import (build_lr_schedule, build_optimizer,
+                               init_state, make_train_step)
+    cfg = Config.fromfile(cfg_path)
+    model = build_model_from_cfg(dict(cfg['model']), dtype=jnp.bfloat16)
+    batch = {'imgs': np.zeros((bs,) + shape, np.float32),
+             'label': np.zeros((bs,), np.int64)}
+    lr = build_lr_schedule(dict(policy='fixed'), 0.01, 1, 1)
+    tx = build_optimizer(dict(type='SGD', lr=0.01, momentum=0.9,
+                              weight_decay=1e-4), lr,
+                         grad_clip=dict(max_norm=40))
+    abs_batch = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        batch)
+    abs_state = jax.eval_shape(partial(init_state, model, tx), abs_batch)
+    txt = jax.jit(make_train_step(model, tx)).lower(
+        abs_state, abs_batch).as_text()
+    thr = bs * 3 * 56 * 56
+    bad = []
+    for line in txt.splitlines():
+        for pat, what in ((r'stablehlo\.gather.*-> tensor<([^>]+)>',
+                           'gather'),
+                          (r'stablehlo\.scatter.*-> tensor<([^>]+)>',
+                           'scatter'),
+                          (r'stablehlo\.transpose [^:]*: '
+                           r'\(tensor<([^>]+f32)>\)', 'f32transpose')):
+            m = re.search(pat, line)
+            if m and _nelem(m.group(1)) >= thr:
+                bad.append(f'{what}: {line.strip()[:100]}')
+    assert not bad, bad
+
+
 def test_no_f32_elementwise_on_pixel_tensors(step_hlo):
     """Jitter/blur/normalize and the stacked wheel output run in the
     model dtype: no image-scale f32 elementwise op may touch a
