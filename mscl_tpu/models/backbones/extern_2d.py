@@ -58,7 +58,7 @@ class BottleneckX(nn.Module):
                     kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='conv2')(y)
         y = make_bn(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='bn2')(y)
+                         epsilon=1e-5, dtype=self.dtype, name='bn2')(y)
         y = nn.relu(y)
         y = ConvBN2d(self.planes * 4, (1, 1), (1, 1), (0, 0), relu=False,
                      dtype=self.dtype, name='conv3')(y, train)
@@ -125,13 +125,13 @@ class DenseLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = make_bn(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='norm1')(x)
+                         epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
         y = nn.relu(y)
         y = nn.Conv(self.bn_size * self.growth_rate, (1, 1),
                     use_bias=False, kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='conv1')(y)
         y = make_bn(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='norm2')(y)
+                         epsilon=1e-5, dtype=self.dtype, name='norm2')(y)
         y = nn.relu(y)
         y = nn.Conv(self.growth_rate, (3, 3), padding=[(1, 1), (1, 1)],
                     use_bias=False, kernel_init=kaiming_normal_fan_out(),
@@ -158,7 +158,7 @@ class DenseNet(nn.Module):
                     kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='conv0')(x)
         x = make_bn(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='norm0')(x)
+                         epsilon=1e-5, dtype=self.dtype, name='norm0')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)])
@@ -173,7 +173,7 @@ class DenseNet(nn.Module):
                 # transition: BN-ReLU-Conv1x1(half) + avgpool/2
                 x = make_bn(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
-                                 dtype=jnp.float32,
+                                 dtype=self.dtype,
                                  name=f'transition{i + 1}_norm')(x)
                 x = nn.relu(x)
                 feats //= 2
@@ -183,7 +183,7 @@ class DenseNet(nn.Module):
                             name=f'transition{i + 1}_conv')(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         x = make_bn(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='norm5')(x)
+                         epsilon=1e-5, dtype=self.dtype, name='norm5')(x)
         return nn.relu(x)
 
 

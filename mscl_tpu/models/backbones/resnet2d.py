@@ -41,7 +41,7 @@ class ConvBN2d(nn.Module):
                     kernel_init=kaiming_normal_fan_out(),
                     dtype=self.dtype, name='conv')(x)
         x = make_bn(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='bn')(x)
+                         epsilon=1e-5, dtype=self.dtype, name='bn')(x)
         return nn.relu(x) if self.relu else x
 
 

@@ -89,7 +89,7 @@ class NonLocal3d(nn.Module):
         # zero-init gamma: the block is an identity at initialization
         y = make_bn(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, scale_init=nn.initializers.zeros,
-                         dtype=jnp.float32, name='bn_out')(y)
+                         dtype=self.dtype, name='bn_out')(y)
         return x + y
 
 
@@ -165,7 +165,7 @@ class Bottleneck3d(nn.Module):
                       kernel_init=kaiming_normal_fan_out(),
                       dtype=self.dtype, name='conv2_conv')(out)
         out = make_bn(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32,
+                           epsilon=1e-5, dtype=self.dtype,
                            name='conv2_bn')(out)
         out = nn.relu(out)
         out = ConvBN(self.planes * self.expansion, (1, 1, 1), (1, 1, 1),

@@ -137,14 +137,17 @@ class TimeSformer(nn.Module):
         cls_tok = self.param('cls_token', nn.initializers.zeros,
                              (1, 1, self.embed_dims))
         cls = jnp.broadcast_to(cls_tok, (b * t, 1, self.embed_dims))
-        x = jnp.concatenate([cls, x], axis=1) + pos
+        # cast back after the f32-param add: otherwise the f32 embedding
+        # params promote the ENTIRE residual stream (every block's
+        # transposes/adds) to f32
+        x = (jnp.concatenate([cls, x], axis=1) + pos).astype(self.dtype)
 
         if self.attention_type != 'space_only':
             time_embed = self.param('time_embed',
                                     nn.initializers.normal(0.02),
                                     (1, t, self.embed_dims))
             patches = x[:, 1:].reshape(b, t, p, self.embed_dims)
-            patches = patches + time_embed[:, :, None]
+            patches = (patches + time_embed[:, :, None]).astype(self.dtype)
             cls = x[:, :1].reshape(b, t, 1, self.embed_dims)[:, 0]
             x = jnp.concatenate(
                 [cls, patches.reshape(b, t * p, self.embed_dims)], axis=1)

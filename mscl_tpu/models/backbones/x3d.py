@@ -66,7 +66,7 @@ class BlockX3D(nn.Module):
         def bn(y, name):
             return make_bn(use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5,
-                                dtype=jnp.float32, name=name)(y)
+                                dtype=self.dtype, name=name)(y)
 
         residual = x
         y = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
@@ -124,7 +124,7 @@ class X3D(nn.Module):
         def bn(y, name):
             return make_bn(use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5,
-                                dtype=jnp.float32, name=name)(y)
+                                dtype=self.dtype, name=name)(y)
 
         # stem: spatial conv then depthwise temporal conv
         x = nn.Conv(base, (1, 3, 3), strides=(1, 2, 2),

@@ -68,7 +68,7 @@ class PConv3D(nn.Module):
             # integrated BN: one BN over all levels' flattened positions
             # (reference sepc.py:138-148)
             bn = make_bn(use_running_average=not train, momentum=0.9,
-                              epsilon=1e-5, dtype=jnp.float32, name='ibn')
+                              epsilon=1e-5, dtype=self.dtype, name='ibn')
             shapes = [p.shape for p in next_x]
             flat = jnp.concatenate(
                 [p.reshape(p.shape[0], -1, p.shape[-1]) for p in next_x],
