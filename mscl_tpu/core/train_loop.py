@@ -13,6 +13,8 @@ from __future__ import annotations
 import json
 import os
 import os.path as osp
+import signal
+import threading
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -167,6 +169,22 @@ class Runner:
         self.log_file = osp.join(work_dir, 'log.json')
         self.epoch = 0
 
+        # Preemption-safe checkpointing (beyond the reference, which has
+        # no failure handling — SURVEY §5): on SIGTERM (the TPU-pod /
+        # cluster preemption signal) finish the in-flight step, write a
+        # resume-able checkpoint, and exit 143. Opt out with
+        # cfg.preempt_checkpoint=False.
+        self._preempt_signum = None
+        if cfg.get('preempt_checkpoint', True) and \
+                threading.current_thread() is threading.main_thread():
+            try:
+                signal.signal(signal.SIGTERM, self._note_preempt)
+            except (ValueError, OSError):  # non-main thread / platform
+                pass
+
+    def _note_preempt(self, signum, frame):
+        self._preempt_signum = signum
+
     def log(self, record: Dict):
         record = {k: (float(v) if hasattr(v, 'dtype') or
                       isinstance(v, (int, float, np.generic)) else v)
@@ -231,6 +249,20 @@ class Runner:
                                   iter=i + 1, total_iters=n_batches, lr=lr,
                                   time=iter_time, data_time=data_time,
                                   **log_vars))
+                if self._preempt_signum is not None:
+                    # meta epoch = completed epochs, so resume re-runs
+                    # the interrupted epoch; the step counter / queue /
+                    # EMA inside the state are exact
+                    path = save_checkpoint(
+                        _state_to_dict(state), self.work_dir, self.epoch,
+                        meta=dict(preempted=True, iter=i + 1),
+                        prefix='preempt_')
+                    with open(osp.join(self.work_dir, 'latest'),
+                              'w') as f:
+                        f.write(osp.basename(path))
+                    self.log(dict(mode='preempt', epoch=self.epoch + 1,
+                                  iter=i + 1, checkpoint=path))
+                    raise SystemExit(128 + int(self._preempt_signum))
                 t_end = time.time()
         finally:
             if hasattr(it, 'close'):
@@ -346,6 +378,17 @@ class OmniSourceRunner(Runner):
                                     **{f'{k}/aux{idx}': v for k, v in
                                        jax.device_get(aux_vars).items()}))
                 self._iter += 1
+                if self._preempt_signum is not None:
+                    path = save_checkpoint(
+                        _state_to_dict(state), self.work_dir, self.epoch,
+                        meta=dict(preempted=True, iter=i + 1),
+                        prefix='preempt_')
+                    with open(osp.join(self.work_dir, 'latest'),
+                              'w') as f:
+                        f.write(osp.basename(path))
+                    self.log(dict(mode='preempt', epoch=self.epoch + 1,
+                                  iter=i + 1, checkpoint=path))
+                    raise SystemExit(128 + int(self._preempt_signum))
                 t_end = time.time()
         finally:
             if hasattr(it, 'close'):

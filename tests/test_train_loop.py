@@ -226,6 +226,88 @@ class TestTINScheduleAndTSMOptimizer:
         assert get('cls_head', 'fc_cls', 'bias') == -10.0
 
 
+class TestPreemptionCheckpoint:
+
+    def test_sigterm_saves_resumable_checkpoint(self, tmp_path):
+        """A real SIGTERM to the process mid-epoch checkpoints at the
+        next step boundary, moves 'latest', and exits 143; a fresh
+        runner resumes from it and finishes (SURVEY §5: the reference
+        has no failure handling)."""
+        import os
+        import signal
+        from mscl_tpu.core import build_lr_schedule, build_optimizer, \
+            init_state
+        from mscl_tpu.datasets import NumpyLoader
+
+        class DS:
+            def __init__(self, n=16):
+                self.n = n
+                self.rng = np.random.default_rng(0)
+                self.video_infos = [dict(label=i % 2) for i in range(n)]
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return dict(imgs=self.rng.random(
+                    (1, 3, 4, 16, 16)).astype(np.float32),
+                    label=np.int64(i % 2))
+
+        def make_runner(trigger):
+            from mscl_tpu.models import RECOGNIZERS
+            model = RECOGNIZERS.get('Recognizer3D')(
+                backbone=dict(type='resnet_flow.r2d_18'),
+                cls_head=dict(type='I3DHead', num_classes=2,
+                              in_channels=128, spatial_type='avg',
+                              dropout_ratio=0.0))
+            loader = NumpyLoader(DS(), batch_size=8, shuffle=False)
+            lr = build_lr_schedule(dict(policy='fixed'), 0.01, 1, 1)
+            tx = build_optimizer(dict(type='SGD', lr=0.01,
+                                      momentum=0.9), lr)
+            runner = Runner(model, tx, loader,
+                            cfg=dict(total_epochs=2,
+                                     log_config=dict(interval=1),
+                                     checkpoint_config=dict(interval=5)),
+                            work_dir=str(tmp_path))
+            if trigger:
+                # deliver a REAL SIGTERM after the first logged iter
+                orig_log = runner.log
+
+                def log_and_kill(record):
+                    orig_log(record)
+                    if record.get('mode') == 'train':
+                        os.kill(os.getpid(), signal.SIGTERM)
+                runner.log = log_and_kill
+            state = init_state(model, tx, next(iter(loader)))
+            return runner, state
+
+        prev = signal.getsignal(signal.SIGTERM)
+        try:
+            runner, state = make_runner(trigger=True)
+            with pytest.raises(SystemExit) as exc:
+                runner.run(state)
+            assert exc.value.code == 128 + signal.SIGTERM
+            ckpts = [p for p in os.listdir(tmp_path)
+                     if p.startswith('preempt_') and p.endswith('.ckpt')]
+            assert len(ckpts) == 1
+            latest = open(tmp_path / 'latest').read().strip()
+            assert latest == ckpts[0]
+            log = open(tmp_path / 'log.json').read()
+            assert '"mode": "preempt"' in log
+
+            # fresh runner resumes from the preempt checkpoint and
+            # completes the remaining epochs
+            runner2, state2 = make_runner(trigger=False)
+            state2 = runner2.resume(state2)
+            assert runner2.epoch == 0  # interrupted epoch re-runs
+            steps_before = int(jax.device_get(state2.step))
+            assert steps_before >= 1   # preempted state carried over
+            final = runner2.run(state2)
+            assert int(jax.device_get(final.step)) == steps_before + 4
+        finally:
+            signal.signal(signal.SIGTERM, prev)
+
+
 class TestOmniSourceRunner:
 
     def test_aux_sources_trained_and_logged(self, tmp_path):
