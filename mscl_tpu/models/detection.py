@@ -213,7 +213,7 @@ class AVAFastRCNN(nn.Module):
         self.bbox_head = BBoxHeadAVA(dtype=self.dtype, **head_cfg)
 
     def extract_feat(self, imgs, train=False):
-        feats = self.backbone_m(to_nthwc(imgs), train=train)
+        feats = self.backbone_m(to_nthwc(imgs, self.dtype), train=train)
         return feats[-1] if isinstance(feats, list) else feats
 
     def _roi_feats(self, feat, rois, train, lt_feat=None):
