@@ -131,6 +131,20 @@ def host_loop(args):
           f'({per_worker:.1f}/worker x {args.host_workers})',
           file=sys.stderr)
 
+    if args.host_only:
+        # chip-free mode (e.g. during a TPU-tunnel outage or on a CI
+        # box): report only the host pipeline metrics
+        loader.shutdown()
+        print(json.dumps({
+            'metric': 'mscl_r18_host_pipeline_samples_per_sec',
+            'value': round(host_rate, 2),
+            'unit': 'samples/s',
+            'vs_baseline': None,
+            'host_samples_per_sec_per_worker': round(per_worker, 2),
+            'host_workers': args.host_workers,
+        }), flush=True)
+        return
+
     # ---- device step fed by the loader
     mcfg = _mscl_cfg(num_frames=8, K=65536, max_iters=219136 * 400)
     import jax.numpy as jnp
@@ -205,6 +219,9 @@ def main():
                         help='stream real on-disk JPEG+np4 batches '
                              'through the recipe pipeline into the step')
     parser.add_argument('--host-data', default='/tmp/mscl_bench_hostdata')
+    parser.add_argument('--host-only', action='store_true',
+                        help='with --host-loop: measure the host '
+                             'pipeline only, never touch the TPU')
     parser.add_argument('--host-workers', type=int, default=2)
     parser.add_argument('--host-measure-batches', type=int, default=4)
     args = parser.parse_args()
