@@ -79,6 +79,21 @@ _BWD_BARRIER = os.environ.get('MSCL_CONV3D_BWD_BARRIER', '0')
 #            epilogue — the gi64 barrier A/B (79.9 vs 76.4 ms/step)
 #            ruled the epilogue theory out.
 #   'giflip64' — same, restricted to the C=F=64 class.
+#   'giwmat' — (round-3 continuation; the EIGHTH grad-input experiment)
+#            materialize the FLIPPED WEIGHTS, not the cotangent:
+#            dx = conv(g, barrier(flip(w)^T)). Every prior experiment
+#            barriered/rewrote the conv's big INPUT operand (103 MB —
+#            materialization always lost); none touched the 442 KB
+#            weight operand. ISOLATED microbench on v5e: a clean conv
+#            with the flip/transpose FUSED into the conv fusion runs
+#            31 TF/s; with pre-materialized flipped weights 44.8 TF/s.
+#            FULL-PROGRAM A/B: 76.0 -> 75.7 ms/step — within run noise,
+#            because the per-fusion attribution shows the in-program
+#            grad-input fusions ALREADY run at clean-conv speed
+#            (3.70 ms each vs the 3.96 ms clean-materialized microbench;
+#            XLA's whole-program layout assignment avoids the slow path
+#            the isolated trace hits). Kept opt-in; confirms (ninth data
+#            point) that the layer1 grad-input wall is structural.
 
 
 def set_conv3d_bwd_barrier(mode) -> None:
@@ -86,7 +101,7 @@ def set_conv3d_bwd_barrier(mode) -> None:
     if mode in (True, False):
         mode = '1' if mode else '0'
     assert mode in ('0', '1', 'gi', 'gi64', 'giflip', 'giflip64',
-                    'gibarflip64', 'gitie64'), mode
+                    'gibarflip64', 'gitie64', 'giwmat'), mode
     _BWD_BARRIER = mode
 
 
@@ -129,7 +144,11 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
             tuple(padding)[1:] == (3, 3) and x.shape[2] % 2 == 0 and
             x.shape[3] % 2 == 0):
         return _conv3d_s2d_stem(x, kernel, tuple(stride), tuple(padding))
-    if _BWD_BARRIER != '0' and _IMPL == 'xla3d':
+    if (_BWD_BARRIER == 'giwmat' and
+            _resolve_impl(kernel, stride) == 'xla3d' and
+            _flip_conv_applicable(kernel, stride, padding)):
+        return _conv3d_xla_wmat(x, kernel, tuple(stride), tuple(padding))
+    if _BWD_BARRIER not in ('0', 'giwmat') and _IMPL == 'xla3d':
         return _conv3d_xla_barrier(x, kernel, tuple(stride),
                                    tuple(padding))
     return _conv3d_dispatch(x, kernel, stride, padding)
@@ -163,7 +182,7 @@ def _conv3d_s2d_stem(x, kernel, stride, padding):
 _AUTO_V2 = os.environ.get('MSCL_CONV3D_AUTO_V2', '1') == '1'
 
 
-def _conv3d_dispatch(x, kernel, stride, padding):
+def _resolve_impl(kernel, stride):
     impl = _IMPL
     if impl == 'auto':
         if _AUTO_V2:
@@ -180,6 +199,11 @@ def _conv3d_dispatch(x, kernel, stride, padding):
         else:
             impl = 'tap2d' if (kernel.shape[0] == 1 or
                                kernel.shape[3] < 16) else 'xla3d'
+    return impl
+
+
+def _conv3d_dispatch(x, kernel, stride, padding):
+    impl = _resolve_impl(kernel, stride)
     if impl == 'xla3d':
         return _conv3d_xla(x, kernel, stride, padding)
     if impl == 'sumtap':
@@ -261,6 +285,41 @@ def _conv3d_barrier_bwd(stride, padding, res, g):
 
 
 _conv3d_xla_barrier.defvjp(_conv3d_barrier_fwd, _conv3d_barrier_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv3d_xla_wmat(x, kernel, stride, padding):
+    return _conv3d_xla(x, kernel, stride, padding)
+
+
+def _wmat_fwd(x, kernel, stride, padding):
+    return _conv3d_xla(x, kernel, stride, padding), (x, kernel)
+
+
+def _wmat_bwd(stride, padding, res, g):
+    """'giwmat': grad-input conv over MATERIALIZED flipped weights.
+
+    dx of a stride-1 SAME conv is exactly conv(g, flip(w) io-swapped).
+    Autodiff leaves the flip/transpose in-graph, XLA fuses it into the
+    conv fusion's weight operand, and the conv drops to its slow path
+    (measured 31 vs 44.8 TF/s isolated, 48 vs 92 in-program). The
+    optimization_barrier materializes the flipped kernel (442 KB for the
+    layer1 class) so the conv sees a plain parameter. grad-weight keeps
+    XLA's natural fused emission (94 TF/s; the unused dx from that vjp
+    call is dead-code-eliminated).
+    """
+    x, kernel = res
+    _, vjp = jax.vjp(
+        lambda x_, k_: _conv3d_xla(x_, k_, stride, padding), x, kernel)
+    _, dw = vjp(g)
+    wf = lax.optimization_barrier(
+        jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3))
+    dx = _conv3d_xla(g, wf, (1, 1, 1),
+                     tuple(k // 2 for k in kernel.shape[:3]))
+    return dx, dw
+
+
+_conv3d_xla_wmat.defvjp(_wmat_fwd, _wmat_bwd)
 
 
 def _conv3d_sumtap(x, kernel, stride, padding):

@@ -256,6 +256,8 @@ class TestConv3dRewrites:
         ('giflip64', 64, 64),
         ('gibarflip64', 64, 64),
         ('gitie64', 64, 64),
+        ('giwmat', 64, 64),  # materialized-flipped-weight grad-input
+        ('giwmat', 6, 5),    # off-class (tap2d under auto): no-op, exact
     ])
     def test_bwd_barrier_exact(self, mode, cin, cout):
         from mscl_tpu.ops import conv3d as c3
@@ -268,6 +270,26 @@ class TestConv3dRewrites:
             out = c3.conv3d(x, w, (1, 1, 1), (1, 1, 1))
             g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
                 c3.conv3d(a, b, (1, 1, 1), (1, 1, 1)))),
+                argnums=(0, 1))(x, w)
+        finally:
+            c3.set_conv3d_bwd_barrier(False)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+        for a, b in zip(g, gref):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    def test_giwmat_strided_fallback_exact(self):
+        """giwmat only rewrites stride-1 SAME convs; strided convs must
+        fall back to plain autodiff and stay exact."""
+        from mscl_tpu.ops import conv3d as c3
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 64))
+        w = jax.random.normal(jax.random.PRNGKey(1),
+                              (3, 3, 3, 64, 64)) * .1
+        ref, gref = self._ref(x, w, (2, 2, 2), (1, 1, 1))
+        c3.set_conv3d_bwd_barrier('giwmat')
+        try:
+            out = c3.conv3d(x, w, (2, 2, 2), (1, 1, 1))
+            g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
+                c3.conv3d(a, b, (2, 2, 2), (1, 1, 1)))),
                 argnums=(0, 1))(x, w)
         finally:
             c3.set_conv3d_bwd_barrier(False)
