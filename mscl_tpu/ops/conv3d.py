@@ -68,7 +68,12 @@ def get_conv3d_impl() -> str:
 #            pathological class (3x3x3, C=F=64, stride 1): the surgical
 #            split — 4 cotangent materializations (~1 ms HBM) vs ~7 ms
 #            of conv-fusion slowdown.
-_BWD_BARRIER = os.environ.get('MSCL_CONV3D_BWD_BARRIER', '0')
+#
+# DEFAULT is 'gidot' (round-3 continuation; the NINTH experiment and
+# the one that cracked the wall): see _wmat_bwd. Full-program A/B on
+# v5e at recipe shapes: 76.0 -> 70.4 ms/step sustained 500 steps
+# (421.1 -> 454.4 clips/s/chip). Set =0 to revert to plain autodiff.
+_BWD_BARRIER = os.environ.get('MSCL_CONV3D_BWD_BARRIER', 'gidot')
 
 
 #   'giflip'  — no barrier; rewrite the grad-input conv of stride-1 SAME
@@ -84,16 +89,23 @@ _BWD_BARRIER = os.environ.get('MSCL_CONV3D_BWD_BARRIER', '0')
 #            dx = conv(g, barrier(flip(w)^T)). Every prior experiment
 #            barriered/rewrote the conv's big INPUT operand (103 MB —
 #            materialization always lost); none touched the 442 KB
-#            weight operand. ISOLATED microbench on v5e: a clean conv
-#            with the flip/transpose FUSED into the conv fusion runs
-#            31 TF/s; with pre-materialized flipped weights 44.8 TF/s.
-#            FULL-PROGRAM A/B: 76.0 -> 75.7 ms/step — within run noise,
-#            because the per-fusion attribution shows the in-program
-#            grad-input fusions ALREADY run at clean-conv speed
-#            (3.70 ms each vs the 3.96 ms clean-materialized microbench;
-#            XLA's whole-program layout assignment avoids the slow path
-#            the isolated trace hits). Kept opt-in; confirms (ninth data
-#            point) that the layer1 grad-input wall is structural.
+#            weight operand. FULL-PROGRAM A/B: 76.0 -> 75.7 ms/step —
+#            within noise. Compiled-HLO forensics explained why: the
+#            barrier pins MATERIALIZATION but not LAYOUT, so XLA folds
+#            the io-swap transpose into the conv kernel operand's
+#            layout ({3,4,2,1,0} bitcast) and keeps the slow
+#            EmitOutputBatchInSublanes conv emitter, while the
+#            byte-identical forward conv gets EmitAllBatchInSublanes
+#            (5.5M vs 3.68M estimated cycles; 3.70 vs 1.95 ms measured).
+#   'gidot' — (NINTH, the winner, now the default) same rewrite but the
+#            io-swap is a dot with the identity, which XLA cannot
+#            bitcast away — the flipped kernel physically lands in the
+#            forward conv's standard layout and the grad-input conv
+#            gets the forward emitter. Full-program A/B on v5e:
+#            76.0 -> 70.4 ms/step sustained (421.1 -> 454.4
+#            clips/s/chip). The seven prior "structural wall"
+#            experiments all poked the fusion structure; the wall was
+#            the kernel-operand layout all along.
 
 
 def set_conv3d_bwd_barrier(mode) -> None:
@@ -101,7 +113,8 @@ def set_conv3d_bwd_barrier(mode) -> None:
     if mode in (True, False):
         mode = '1' if mode else '0'
     assert mode in ('0', '1', 'gi', 'gi64', 'giflip', 'giflip64',
-                    'gibarflip64', 'gitie64', 'giwmat'), mode
+                    'gibarflip64', 'gitie64', 'giwmat', 'gidot',
+                    'gidots'), mode
     _BWD_BARRIER = mode
 
 
@@ -144,11 +157,12 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
             tuple(padding)[1:] == (3, 3) and x.shape[2] % 2 == 0 and
             x.shape[3] % 2 == 0):
         return _conv3d_s2d_stem(x, kernel, tuple(stride), tuple(padding))
-    if (_BWD_BARRIER == 'giwmat' and
+    if (_BWD_BARRIER in ('giwmat', 'gidot', 'gidots') and
             _resolve_impl(kernel, stride) == 'xla3d' and
-            _flip_conv_applicable(kernel, stride, padding)):
+            _wmat_applicable(kernel, stride, padding)):
         return _conv3d_xla_wmat(x, kernel, tuple(stride), tuple(padding))
-    if _BWD_BARRIER not in ('0', 'giwmat') and _IMPL == 'xla3d':
+    if _BWD_BARRIER not in ('0', 'giwmat', 'gidot', 'gidots') and \
+            _IMPL == 'xla3d':
         return _conv3d_xla_barrier(x, kernel, tuple(stride),
                                    tuple(padding))
     return _conv3d_dispatch(x, kernel, stride, padding)
@@ -170,7 +184,7 @@ def _conv3d_s2d_stem(x, kernel, stride, padding):
     kp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
     kf = kp.reshape(kt, 4, 2, 4, 2, c, f)
     kf = kf.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * c, f)
-    if _BWD_BARRIER != '0':
+    if _BWD_BARRIER not in ('0', 'giwmat', 'gidot'):
         return _conv3d_xla_barrier(xf, kf, (st, 1, 1),
                                    ((pt, pt), (2, 1), (2, 1)))
     return _conv3d_xla(xf, kf, (st, 1, 1), ((pt, pt), (2, 1), (2, 1)))
@@ -233,6 +247,15 @@ def _flip_conv_applicable(kernel, stride, padding):
     return (tuple(stride) == (1, 1, 1) and
             pads == ((kt // 2,) * 2, (kh // 2,) * 2, (kw // 2,) * 2) and
             kt % 2 == 1 and kh % 2 == 1 and kw % 2 == 1)
+
+
+def _wmat_applicable(kernel, stride, padding):
+    """gidot/gidots dispatch gate. 'gidots' extends the forward-form
+    grad-input rewrite to STRIDED convs via lhs_dilation (symmetric
+    int padding only); 'gidot'/'giwmat' stay stride-1 SAME."""
+    if _BWD_BARRIER == 'gidots':
+        return all(isinstance(p, int) or p[0] == p[1] for p in padding)
+    return _flip_conv_applicable(kernel, stride, padding)
 
 
 def _conv3d_barrier_bwd(stride, padding, res, g):
@@ -312,10 +335,41 @@ def _wmat_bwd(stride, padding, res, g):
     _, vjp = jax.vjp(
         lambda x_, k_: _conv3d_xla(x_, k_, stride, padding), x, kernel)
     _, dw = vjp(g)
-    wf = lax.optimization_barrier(
-        jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3))
-    dx = _conv3d_xla(g, wf, (1, 1, 1),
-                     tuple(k // 2 for k in kernel.shape[:3]))
+    wf = jnp.flip(kernel, axis=(0, 1, 2))
+    if _BWD_BARRIER in ('gidot', 'gidots'):
+        # Post-giwmat finding (compiled-HLO forensics): the barrier pins
+        # MATERIALIZATION but not LAYOUT — XLA folds the io-swap
+        # transpose into the conv kernel operand's layout ({3,4,2,1,0}
+        # bitcast), and the gi conv keeps the slow
+        # EmitOutputBatchInSublanes emitter (5.50M est. cycles) while
+        # the byte-identical forward conv gets EmitAllBatchInSublanes
+        # (3.68M). 'gidot' forces a PHYSICAL io-swap: a dot with the
+        # identity cannot be bitcast away, so the kernel arrives in the
+        # forward conv's exact standard layout (~7M MACs, negligible).
+        eye = jnp.eye(wf.shape[3], dtype=wf.dtype)
+        wfT = jnp.einsum('thwio,iI->thwoI', wf, eye)
+    else:
+        wfT = lax.optimization_barrier(wf.transpose(0, 1, 2, 4, 3))
+    if tuple(stride) == (1, 1, 1):
+        dx = _conv3d_xla(g, wfT, (1, 1, 1),
+                         tuple(k // 2 for k in kernel.shape[:3]))
+    else:
+        # strided ('gidots'): dx = forward conv over the stride-dilated
+        # cotangent — pad_lo = K-1-p, pad_hi = I + p - (O-1)s - 1 makes
+        # the output exactly input-sized (the standard transposed-conv
+        # geometry; exactness locked against plain autodiff in
+        # tests/test_ops.py).
+        pads = []
+        for d in range(3):
+            k = kernel.shape[d]
+            p = padding[d] if not isinstance(padding[d], tuple) \
+                else padding[d][0]
+            i_sz, o_sz, s = x.shape[1 + d], g.shape[1 + d], stride[d]
+            pads.append((k - 1 - p, i_sz + p - (o_sz - 1) * s - 1))
+        dx = lax.conv_general_dilated(
+            g, wfT, window_strides=(1, 1, 1), padding=pads,
+            lhs_dilation=tuple(stride),
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
     return dx, dw
 
 

@@ -192,7 +192,8 @@ class TestConv3dRewrites:
     def _ref(self, x, w, stride, pad):
         from mscl_tpu.ops import conv3d as c3
         c3.set_conv3d_s2d(False)
-        c3.set_conv3d_bwd_barrier(False)
+        prev_mode = c3._BWD_BARRIER
+        c3.set_conv3d_bwd_barrier(False)   # oracle: plain autodiff
         prev = c3.get_conv3d_impl()
         c3.set_conv3d_impl('xla3d')   # oracle: the direct lowering
         try:
@@ -201,6 +202,7 @@ class TestConv3dRewrites:
                 c3.conv3d(a, b, stride, pad))), argnums=(0, 1))(x, w)
         finally:
             c3.set_conv3d_impl(prev)
+            c3.set_conv3d_bwd_barrier(prev_mode)
         return out, g
 
     @pytest.mark.parametrize('cin,stride', [(3, (1, 2, 2)),
@@ -258,6 +260,9 @@ class TestConv3dRewrites:
         ('gitie64', 64, 64),
         ('giwmat', 64, 64),  # materialized-flipped-weight grad-input
         ('giwmat', 6, 5),    # off-class (tap2d under auto): no-op, exact
+        ('gidot', 64, 64),   # DEFAULT: physically io-swapped weights
+        ('gidot', 6, 5),     # off-class: no-op, exact
+        ('gidots', 64, 64),  # strided-capable variant, stride-1 case
     ])
     def test_bwd_barrier_exact(self, mode, cin, cout):
         from mscl_tpu.ops import conv3d as c3
@@ -265,6 +270,7 @@ class TestConv3dRewrites:
         w = jax.random.normal(jax.random.PRNGKey(1),
                               (3, 3, 3, cin, cout)) * .1
         ref, gref = self._ref(x, w, (1, 1, 1), (1, 1, 1))
+        prev = c3._BWD_BARRIER
         c3.set_conv3d_bwd_barrier(mode)
         try:
             out = c3.conv3d(x, w, (1, 1, 1), (1, 1, 1))
@@ -272,27 +278,57 @@ class TestConv3dRewrites:
                 c3.conv3d(a, b, (1, 1, 1), (1, 1, 1)))),
                 argnums=(0, 1))(x, w)
         finally:
-            c3.set_conv3d_bwd_barrier(False)
+            c3.set_conv3d_bwd_barrier(prev)
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
         for a, b in zip(g, gref):
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
-    def test_giwmat_strided_fallback_exact(self):
-        """giwmat only rewrites stride-1 SAME convs; strided convs must
-        fall back to plain autodiff and stay exact."""
+    @pytest.mark.parametrize('mode', ['giwmat', 'gidot'])
+    def test_wmat_strided_fallback_exact(self, mode):
+        """giwmat/gidot only rewrite stride-1 SAME convs; strided convs
+        must fall back to plain autodiff and stay exact."""
         from mscl_tpu.ops import conv3d as c3
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 64))
         w = jax.random.normal(jax.random.PRNGKey(1),
                               (3, 3, 3, 64, 64)) * .1
         ref, gref = self._ref(x, w, (2, 2, 2), (1, 1, 1))
-        c3.set_conv3d_bwd_barrier('giwmat')
+        prev = c3._BWD_BARRIER
+        c3.set_conv3d_bwd_barrier(mode)
         try:
             out = c3.conv3d(x, w, (2, 2, 2), (1, 1, 1))
             g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
                 c3.conv3d(a, b, (2, 2, 2), (1, 1, 1)))),
                 argnums=(0, 1))(x, w)
         finally:
-            c3.set_conv3d_bwd_barrier(False)
+            c3.set_conv3d_bwd_barrier(prev)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+        for a, b in zip(g, gref):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize('kshape,stride,pad,xshape', [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), (2, 5, 9, 9)),  # block conv
+        ((1, 1, 1), (2, 2, 2), (0, 0, 0), (2, 6, 8, 8)),  # downsample
+        ((3, 3, 3), (1, 2, 2), (1, 1, 1), (2, 5, 9, 9)),  # mixed stride
+    ])
+    def test_gidots_strided_exact(self, kshape, stride, pad, xshape):
+        """'gidots' rewrites STRIDED grad-input convs as lhs-dilated
+        forward convs over physically io-swapped flipped weights."""
+        from mscl_tpu.ops import conv3d as c3
+        x = jax.random.normal(jax.random.PRNGKey(0), xshape + (8,))
+        w = jax.random.normal(jax.random.PRNGKey(1),
+                              kshape + (8, 16)) * .1
+        ref, gref = self._ref(x, w, stride, pad)
+        prev_impl = c3.get_conv3d_impl()
+        prev = c3._BWD_BARRIER
+        c3.set_conv3d_impl('xla3d')
+        c3.set_conv3d_bwd_barrier('gidots')
+        try:
+            out = c3.conv3d(x, w, stride, pad)
+            g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
+                c3.conv3d(a, b, stride, pad))), argnums=(0, 1))(x, w)
+        finally:
+            c3.set_conv3d_impl(prev_impl)
+            c3.set_conv3d_bwd_barrier(prev)
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
         for a, b in zip(g, gref):
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
