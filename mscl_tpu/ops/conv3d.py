@@ -114,7 +114,7 @@ def set_conv3d_bwd_barrier(mode) -> None:
         mode = '1' if mode else '0'
     assert mode in ('0', '1', 'gi', 'gi64', 'giflip', 'giflip64',
                     'gibarflip64', 'gitie64', 'giwmat', 'gidot',
-                    'gidots'), mode
+                    'gidots', 'giphase'), mode
     _BWD_BARRIER = mode
 
 
@@ -157,12 +157,12 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
             tuple(padding)[1:] == (3, 3) and x.shape[2] % 2 == 0 and
             x.shape[3] % 2 == 0):
         return _conv3d_s2d_stem(x, kernel, tuple(stride), tuple(padding))
-    if (_BWD_BARRIER in ('giwmat', 'gidot', 'gidots') and
+    if (_BWD_BARRIER in ('giwmat', 'gidot', 'gidots', 'giphase') and
             _resolve_impl(kernel, stride) == 'xla3d' and
             _wmat_applicable(kernel, stride, padding)):
         return _conv3d_xla_wmat(x, kernel, tuple(stride), tuple(padding))
-    if _BWD_BARRIER not in ('0', 'giwmat', 'gidot', 'gidots') and \
-            _IMPL == 'xla3d':
+    if _BWD_BARRIER not in ('0', 'giwmat', 'gidot', 'gidots',
+                            'giphase') and _IMPL == 'xla3d':
         return _conv3d_xla_barrier(x, kernel, tuple(stride),
                                    tuple(padding))
     return _conv3d_dispatch(x, kernel, stride, padding)
@@ -253,7 +253,7 @@ def _wmat_applicable(kernel, stride, padding):
     """gidot/gidots dispatch gate. 'gidots' extends the forward-form
     grad-input rewrite to STRIDED convs via lhs_dilation (symmetric
     int padding only); 'gidot'/'giwmat' stay stride-1 SAME."""
-    if _BWD_BARRIER == 'gidots':
+    if _BWD_BARRIER in ('gidots', 'giphase'):
         return all(isinstance(p, int) or p[0] == p[1] for p in padding)
     return _flip_conv_applicable(kernel, stride, padding)
 
@@ -335,8 +335,11 @@ def _wmat_bwd(stride, padding, res, g):
     _, vjp = jax.vjp(
         lambda x_, k_: _conv3d_xla(x_, k_, stride, padding), x, kernel)
     _, dw = vjp(g)
+    if (_BWD_BARRIER == 'giphase' and tuple(stride) != (1, 1, 1) and
+            all(x.shape[1 + d] % stride[d] == 0 for d in range(3))):
+        return _phase_grad_input(g, kernel, stride, padding, x.shape), dw
     wf = jnp.flip(kernel, axis=(0, 1, 2))
-    if _BWD_BARRIER in ('gidot', 'gidots'):
+    if _BWD_BARRIER in ('gidot', 'gidots', 'giphase'):
         # Post-giwmat finding (compiled-HLO forensics): the barrier pins
         # MATERIALIZATION but not LAYOUT — XLA folds the io-swap
         # transpose into the conv kernel operand's layout ({3,4,2,1,0}
@@ -374,6 +377,79 @@ def _wmat_bwd(stride, padding, res, g):
 
 
 _conv3d_xla_wmat.defvjp(_wmat_fwd, _wmat_bwd)
+
+
+def _phase_grad_input(g, kernel, stride, padding, x_shape):
+    """'giphase': strided grad-input as s_t*s_h*s_w PLAIN stride-1 convs.
+
+    'gidots' proved (compile-check) that lhs_dilation rules out the
+    fast EmitAllBatchInSublanes conv emitter, the same way the folded
+    kernel layout did for the stride-1 class before 'gidot'. This mode
+    removes the dilation entirely: the transposed conv is decomposed by
+    input phase (the sub-pixel-conv identity). Per dim with stride s,
+    pad p, kernel K: positions i with (i + p) % s == r are produced by
+    taps k in {r, r+s, ...}, so
+
+        dx[j*s + r - p] = sum_m g[j - m] * w[r + s*m]
+
+    i.e. a stride-1 conv of g with the FLIPPED sub-kernel w[r::s]
+    (io-swapped via the 'gidot' identity-dot so it lands in the forward
+    layout), with padding lo = M-1-c, hi = I/s + c - O where
+    c = (q + p - r) / s and q = (r - p) % s is the phase's position
+    inside each stride group. The s^3 phase outputs interleave back via
+    one stack + transpose + reshape (a dx-sized relayout, ~25 MB for
+    the layer2 class). Kernel taps sum to K^3 across phases — FLOPs are
+    identical to the dilated form. Empty phases (M == 0 in some dim,
+    e.g. the odd phases of a 1x1x1/s2 downsample) are zeros, so the
+    downsample dx costs ONE channel matmul + the interleave.
+    Exactness is locked against plain autodiff in tests/test_ops.py.
+    """
+    pads = tuple(p if isinstance(p, int) else p[0] for p in padding)
+    ins = x_shape[1:4]
+    outs = g.shape[1:4]
+    js = tuple(ins[d] // stride[d] for d in range(3))
+    eye = jnp.eye(kernel.shape[3], dtype=kernel.dtype)
+    phases = {}
+    for r0 in range(stride[0]):
+        for r1 in range(stride[1]):
+            for r2 in range(stride[2]):
+                r = (r0, r1, r2)
+                q = tuple((r[d] - pads[d]) % stride[d] for d in range(3))
+                ms = tuple(len(range(r[d], kernel.shape[d], stride[d]))
+                           for d in range(3))
+                if min(ms) == 0:
+                    phases[q] = None
+                    continue
+                gp, conv_pads = g, []
+                for d in range(3):
+                    c = (q[d] + pads[d] - r[d]) // stride[d]
+                    lo = ms[d] - 1 - c
+                    hi = js[d] + c - outs[d]
+                    if lo < 0:
+                        gp = lax.slice_in_dim(gp, -lo, gp.shape[1 + d],
+                                              axis=1 + d)
+                        lo = 0
+                    if hi < 0:
+                        gp = lax.slice_in_dim(gp, 0, gp.shape[1 + d] + hi,
+                                              axis=1 + d)
+                        hi = 0
+                    conv_pads.append((lo, hi))
+                wf = jnp.flip(
+                    kernel[r0::stride[0], r1::stride[1], r2::stride[2]],
+                    axis=(0, 1, 2))
+                wfT = jnp.einsum('thwio,iI->thwoI', wf, eye)
+                phases[q] = _conv3d_xla(gp, wfT, (1, 1, 1),
+                                        tuple(conv_pads))
+    proto = next(v for v in phases.values() if v is not None)
+    flat = [phases[q] if phases[q] is not None
+            else jnp.zeros(proto.shape, proto.dtype)
+            for q in sorted(phases)]
+    if len(flat) == 1:
+        return flat[0]
+    n, c = g.shape[0], kernel.shape[3]
+    out = jnp.stack(flat, axis=0).reshape(stride + proto.shape)
+    out = out.transpose(3, 4, 0, 5, 1, 6, 2, 7)
+    return out.reshape((n,) + tuple(ins) + (c,))
 
 
 def _conv3d_sumtap(x, kernel, stride, padding):

@@ -306,6 +306,40 @@ class TestConv3dRewrites:
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
     @pytest.mark.parametrize('kshape,stride,pad,xshape', [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), (2, 4, 8, 8)),   # block conv
+        ((1, 1, 1), (2, 2, 2), (0, 0, 0), (2, 6, 8, 8)),   # downsample
+        ((3, 3, 3), (1, 2, 2), (1, 1, 1), (2, 5, 8, 8)),   # mixed stride
+        ((3, 3, 3), (1, 1, 1), (1, 1, 1), (2, 4, 8, 8)),   # stride-1 path
+        ((3, 7, 7), (1, 2, 2), (1, 3, 3), (2, 4, 8, 8)),   # stem-like
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), (2, 5, 9, 9)),   # odd I: fallback
+        ((3, 3, 3), (2, 2, 2), (0, 0, 0), (2, 6, 8, 8)),   # VALID pad
+        ((5, 3, 3), (3, 2, 2), (2, 1, 1), (2, 6, 8, 8)),   # stride 3
+    ])
+    def test_giphase_strided_exact(self, kshape, stride, pad, xshape):
+        """'giphase' decomposes STRIDED grad-input convs into s^3 plain
+        stride-1 phase convs + an interleave (tests/test_ops.py is the
+        exactness lock the benchmark dossier cites)."""
+        from mscl_tpu.ops import conv3d as c3
+        x = jax.random.normal(jax.random.PRNGKey(0), xshape + (8,))
+        w = jax.random.normal(jax.random.PRNGKey(1),
+                              kshape + (8, 16)) * .1
+        ref, gref = self._ref(x, w, stride, pad)
+        prev_impl = c3.get_conv3d_impl()
+        prev = c3._BWD_BARRIER
+        c3.set_conv3d_impl('xla3d')
+        c3.set_conv3d_bwd_barrier('giphase')
+        try:
+            out = c3.conv3d(x, w, stride, pad)
+            g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
+                c3.conv3d(a, b, stride, pad))), argnums=(0, 1))(x, w)
+        finally:
+            c3.set_conv3d_impl(prev_impl)
+            c3.set_conv3d_bwd_barrier(prev)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+        for a, b in zip(g, gref):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize('kshape,stride,pad,xshape', [
         ((3, 3, 3), (2, 2, 2), (1, 1, 1), (2, 5, 9, 9)),  # block conv
         ((1, 1, 1), (2, 2, 2), (0, 0, 0), (2, 6, 8, 8)),  # downsample
         ((3, 3, 3), (1, 2, 2), (1, 1, 1), (2, 5, 9, 9)),  # mixed stride
