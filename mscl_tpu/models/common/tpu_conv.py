@@ -1,0 +1,73 @@
+"""nn.Conv drop-in that routes 3D convs through ops.conv3d.
+
+The backbone convs go through ``ops.conv3d`` (tap2d/xla3d dispatch +
+the 'gidot' grad-input kernel-layout fix — docs/benchmark.md round-3
+dossier), but neck/head modules built on flax ``nn.Conv`` lower to raw
+``lax.conv_general_dilated``: their grad-input convs keep the folded
+flip/transpose kernel layout that knocks XLA onto the slow
+EmitOutputBatchInSublanes emitter (measured ~2x on the layer1 class).
+``TpuConv`` keeps nn.Conv's exact parameter tree ('kernel'
+(kt, kh, kw, C, F), 'bias' (F,)) and init/dtype semantics so checkpoints
+and torch-parity tests are unchanged, while the compute path gets the
+same treatment as the backbones.
+
+Supported surface (what the necks use): 3D NTHWC, groups=1,
+dilation=1, 'SAME'/int/symmetric-pair padding. Anything else should
+stay on nn.Conv at the call site.
+
+Parity: reference necks build on mmcv ConvModule(conv_cfg=Conv3d)
+(e.g. mmaction/models/necks/sepc.py:57-135, fpn.py:11-227).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.conv3d import conv3d
+
+
+class TpuConv(nn.Module):
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Union[str, int, Sequence] = 'SAME'
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        ks = tuple(self.kernel_size)
+        kernel = self.param('kernel', self.kernel_init,
+                            ks + (x.shape[-1], self.features),
+                            jnp.float32)
+        bias = self.param('bias', self.bias_init, (self.features,),
+                          jnp.float32) if self.use_bias else None
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            if bias is not None:
+                bias = bias.astype(self.dtype)
+        pad = self.padding
+        if isinstance(pad, str):
+            assert pad == 'SAME' and all(k % 2 == 1 for k in ks) and \
+                tuple(self.strides) == (1, 1, 1), (pad, ks, self.strides)
+            pad = tuple(k // 2 for k in ks)
+        elif isinstance(pad, int):
+            pad = (pad,) * 3
+        else:
+            norm = []
+            for p in pad:
+                if isinstance(p, (tuple, list)):
+                    assert p[0] == p[1], p
+                    norm.append(p[0])
+                else:
+                    norm.append(p)
+            pad = tuple(norm)
+        out = conv3d(x, kernel, tuple(self.strides), pad)
+        if bias is not None:
+            out = out + bias
+        return out
