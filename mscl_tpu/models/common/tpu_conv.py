@@ -20,12 +20,23 @@ Parity: reference necks build on mmcv ConvModule(conv_cfg=Conv3d)
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.conv3d import conv3d
+
+# Neck-wide rollout switch (VERDICT r3 #3): =1 routes every eligible
+# neck conv (FPN laterals/fpn convs, SEPC PConv) through TpuConv; =0
+# reverts the whole family to flax nn.Conv for on-chip A/B.
+_NECK_TPUCONV = os.environ.get('MSCL_NECK_TPUCONV', '1') == '1'
+
+
+def set_neck_tpuconv(on: bool) -> None:
+    global _NECK_TPUCONV
+    _NECK_TPUCONV = bool(on)
 
 
 class TpuConv(nn.Module):
@@ -71,3 +82,39 @@ class TpuConv(nn.Module):
         if bias is not None:
             out = out + bias
         return out
+
+
+def neck_conv(features: int, kernel_size, *, strides=(1, 1, 1),
+              padding='SAME', use_bias: bool = True,
+              kernel_init=nn.initializers.lecun_normal(),
+              bias_init=nn.initializers.zeros, dtype=None,
+              feature_group_count: int = 1,
+              kernel_dilation=(1, 1, 1), name=None):
+    """nn.Conv/TpuConv dispatch for neck call sites.
+
+    Same parameter tree either way ('kernel' (kt,kh,kw,C,F) + 'bias');
+    grouped or dilated convs always stay on nn.Conv (outside TpuConv's
+    supported surface). Flip with MSCL_NECK_TPUCONV / set_neck_tpuconv.
+    """
+    ks = tuple(kernel_size)
+    eligible = (feature_group_count == 1 and
+                tuple(kernel_dilation) == (1, 1, 1) and
+                (padding != 'SAME' or
+                 (tuple(strides) == (1, 1, 1) and
+                  all(k % 2 == 1 for k in ks))))
+    if _NECK_TPUCONV and eligible:
+        return TpuConv(features, ks, strides=tuple(strides),
+                       padding=padding, use_bias=use_bias,
+                       kernel_init=kernel_init, bias_init=bias_init,
+                       dtype=dtype, name=name)
+    pad = padding
+    if isinstance(pad, int):
+        pad = [(pad, pad)] * 3
+    elif not isinstance(pad, str):
+        pad = [(p, p) if not isinstance(p, (tuple, list)) else tuple(p)
+               for p in pad]
+    return nn.Conv(features, ks, strides=tuple(strides), padding=pad,
+                   use_bias=use_bias, kernel_init=kernel_init,
+                   bias_init=bias_init, dtype=dtype,
+                   feature_group_count=feature_group_count,
+                   kernel_dilation=tuple(kernel_dilation), name=name)

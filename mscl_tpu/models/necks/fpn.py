@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import NECKS
+from ..common.tpu_conv import neck_conv
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
@@ -83,9 +84,10 @@ class FPN(nn.Module):
         # laterals: 1x1x1 convs (bias, no norm/act — ConvModule defaults)
         laterals = []
         for i in range(used):
-            lat = nn.Conv(self.out_channels, (1, 1, 1), use_bias=True,
-                          kernel_init=xavier_uniform, dtype=self.dtype,
-                          name=f'lateral_{i}')(inputs[i + self.start_level])
+            lat = neck_conv(self.out_channels, (1, 1, 1), use_bias=True,
+                            kernel_init=xavier_uniform, dtype=self.dtype,
+                            name=f'lateral_{i}')(
+                                inputs[i + self.start_level])
             laterals.append(lat)
 
         # top-down pathway with torch-nearest upsampling
@@ -97,10 +99,10 @@ class FPN(nn.Module):
         # per-level fpn convs
         outs = []
         for i in range(used):
-            out = nn.Conv(self.out_channels, ks,
-                          padding=[(p, p) for p in pad], use_bias=True,
-                          kernel_init=xavier_uniform, dtype=self.dtype,
-                          name=f'fpn_{i}')(laterals[i])
+            out = neck_conv(self.out_channels, ks,
+                            padding=tuple(pad), use_bias=True,
+                            kernel_init=xavier_uniform, dtype=self.dtype,
+                            name=f'fpn_{i}')(laterals[i])
             outs.append(out)
 
         # extra levels via strided max-pool (reference fpn.py:205-210;

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import NECKS
+from ..common.tpu_conv import neck_conv
 from .fpn import FPN, xavier_uniform
 from .sepc import SEPC
 
@@ -25,10 +26,12 @@ class TemporalModulation(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_channels, (3, 1, 1), strides=(1, 1, 1),
-                    padding=[(1, 1), (0, 0), (0, 0)], use_bias=False,
-                    feature_group_count=32, kernel_init=xavier_uniform,
-                    dtype=self.dtype, name='conv')(x)
+        # grouped (32) conv: stays on nn.Conv via neck_conv's eligibility
+        # gate — ops.conv3d has no grouped path (docs/benchmark.md r4)
+        x = neck_conv(self.out_channels, (3, 1, 1), strides=(1, 1, 1),
+                      padding=(1, 0, 0), use_bias=False,
+                      feature_group_count=32, kernel_init=xavier_uniform,
+                      dtype=self.dtype, name='conv')(x)
         s = self.downsample_scale
         t = x.shape[1]
         pad_t = (-t) % s  # ceil_mode padding

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import NECKS
+from ..common.tpu_conv import neck_conv
 from ...ops.split_bn import make_bn
 
 pconv_init = nn.initializers.normal(stddev=0.01)
@@ -45,23 +46,15 @@ class PConv3D(nn.Module):
             d = self.dilation[j]
             pad = (k + (d - 1) * 2) // 2
             stride = self.stride if j == 2 else (1, 1, 1)
-            if d == 1 and self.groups[j] == 1:
-                # ops.conv3d path: same math, TPU conv dispatch + the
-                # gidot grad-input fix (docs/benchmark.md)
-                convs.append(TpuConv(
-                    self.out_channels, (k, k, k), strides=stride,
-                    padding=(pad, pad, pad), kernel_init=pconv_init,
-                    bias_init=nn.initializers.zeros,
-                    dtype=self.dtype, name=f'pconv{j}'))
-            else:
-                convs.append(nn.Conv(
-                    self.out_channels, (k, k, k), strides=stride,
-                    padding=[(pad, pad)] * 3,
-                    kernel_dilation=(d, d, d),
-                    feature_group_count=self.groups[j],
-                    kernel_init=pconv_init,
-                    bias_init=nn.initializers.zeros,
-                    dtype=self.dtype, name=f'pconv{j}'))
+            # neck_conv: ops.conv3d path (TPU conv dispatch + the gidot
+            # grad-input fix, docs/benchmark.md) when d==1 and groups==1;
+            # nn.Conv otherwise
+            convs.append(neck_conv(
+                self.out_channels, (k, k, k), strides=stride,
+                padding=(pad, pad, pad), kernel_dilation=(d, d, d),
+                feature_group_count=self.groups[j],
+                kernel_init=pconv_init, bias_init=nn.initializers.zeros,
+                dtype=self.dtype, name=f'pconv{j}'))
 
         next_x = []
         for level, feature in enumerate(x):

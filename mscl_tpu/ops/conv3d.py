@@ -108,6 +108,12 @@ _BWD_BARRIER = os.environ.get('MSCL_CONV3D_BWD_BARRIER', 'gidot')
 #            the kernel-operand layout all along.
 
 
+# forward-form grad-input rewrite family (share one tuple so the three
+# dispatch sites — conv3d, _conv3d_s2d_stem, the barrier fallthrough —
+# can't drift; ADVICE r3 low finding).
+_WMAT_MODES = ('giwmat', 'gidot', 'gidots', 'giphase')
+
+
 def set_conv3d_bwd_barrier(mode) -> None:
     global _BWD_BARRIER
     if mode in (True, False):
@@ -157,12 +163,11 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
             tuple(padding)[1:] == (3, 3) and x.shape[2] % 2 == 0 and
             x.shape[3] % 2 == 0):
         return _conv3d_s2d_stem(x, kernel, tuple(stride), tuple(padding))
-    if (_BWD_BARRIER in ('giwmat', 'gidot', 'gidots', 'giphase') and
+    if (_BWD_BARRIER in _WMAT_MODES and
             _resolve_impl(kernel, stride) == 'xla3d' and
             _wmat_applicable(kernel, stride, padding)):
         return _conv3d_xla_wmat(x, kernel, tuple(stride), tuple(padding))
-    if _BWD_BARRIER not in ('0', 'giwmat', 'gidot', 'gidots',
-                            'giphase') and _IMPL == 'xla3d':
+    if _BWD_BARRIER not in ('0',) + _WMAT_MODES and _IMPL == 'xla3d':
         return _conv3d_xla_barrier(x, kernel, tuple(stride),
                                    tuple(padding))
     return _conv3d_dispatch(x, kernel, stride, padding)
@@ -184,7 +189,7 @@ def _conv3d_s2d_stem(x, kernel, stride, padding):
     kp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
     kf = kp.reshape(kt, 4, 2, 4, 2, c, f)
     kf = kf.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * c, f)
-    if _BWD_BARRIER not in ('0', 'giwmat', 'gidot'):
+    if _BWD_BARRIER not in ('0',) + _WMAT_MODES:
         return _conv3d_xla_barrier(xf, kf, (st, 1, 1),
                                    ((pt, pt), (2, 1), (2, 1)))
     return _conv3d_xla(xf, kf, (st, 1, 1), ((pt, pt), (2, 1), (2, 1)))
@@ -354,8 +359,17 @@ def _wmat_bwd(stride, padding, res, g):
     else:
         wfT = lax.optimization_barrier(wf.transpose(0, 1, 2, 4, 3))
     if tuple(stride) == (1, 1, 1):
-        dx = _conv3d_xla(g, wfT, (1, 1, 1),
-                         tuple(k // 2 for k in kernel.shape[:3]))
+        # general stride-1 grad-input pads: lo = K-1-p, hi = I+p-O
+        # (== (k//2, k//2) for SAME; ADVICE r3: the old hardcoded k//2
+        # was wrong for stride-1 pad != k//2, reachable under gidots/
+        # giphase whose gate accepts any symmetric padding).
+        pads = []
+        for d in range(3):
+            k = kernel.shape[d]
+            p = padding[d] if not isinstance(padding[d], tuple) \
+                else padding[d][0]
+            pads.append((k - 1 - p, x.shape[1 + d] + p - g.shape[1 + d]))
+        dx = _conv3d_xla(g, wfT, (1, 1, 1), tuple(pads))
     else:
         # strided ('gidots'): dx = forward conv over the stride-dilated
         # cotangent — pad_lo = K-1-p, pad_hi = I + p - (O-1)s - 1 makes

@@ -310,6 +310,8 @@ class TestConv3dRewrites:
         ((1, 1, 1), (2, 2, 2), (0, 0, 0), (2, 6, 8, 8)),   # downsample
         ((3, 3, 3), (1, 2, 2), (1, 1, 1), (2, 5, 8, 8)),   # mixed stride
         ((3, 3, 3), (1, 1, 1), (1, 1, 1), (2, 4, 8, 8)),   # stride-1 path
+        ((3, 3, 3), (1, 1, 1), (0, 0, 0), (2, 6, 8, 8)),   # stride-1 VALID
+        ((5, 3, 3), (1, 1, 1), (1, 1, 1), (2, 6, 8, 8)),   # stride-1 p<k//2
         ((3, 7, 7), (1, 2, 2), (1, 3, 3), (2, 4, 8, 8)),   # stem-like
         ((3, 3, 3), (2, 2, 2), (1, 1, 1), (2, 5, 9, 9)),   # odd I: fallback
         ((3, 3, 3), (2, 2, 2), (0, 0, 0), (2, 6, 8, 8)),   # VALID pad
