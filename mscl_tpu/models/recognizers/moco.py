@@ -234,16 +234,12 @@ class _MoCoBase(nn.Module):
         k_mlvl = [jax.lax.stop_gradient(x) for x in k_mlvl]
         return q, q_mlvl, k, k_mlvl
 
-    def forward_train(self, im_q, im_k, aux_info=None,
-                      return_features: bool = False,
-                      update_queue: bool = True, train: bool = True):
-        """im_q/im_k: (B, T, H, W, C). Returns losses (, features)."""
-        aux_info = dict(aux_info or {})
-        if not return_features:
-            im_q, im_k, aux_info = self.aug_gpu(
-                self.make_rng('moco'), im_q, im_k, aux_info)
-        q, q_mlvl, k, k_mlvl = self.extract_feat(im_q, im_k, train)
-
+    def _instance_loss(self, q, q_mlvl, k, k_mlvl, aux_info,
+                       update_queue: bool, train: bool):
+        """Everything after the tower forwards: decayed-queue InfoNCE,
+        queue/count/iters bookkeeping, head loss. Shared by
+        forward_train and forward_train_pair so the batched-pass variant
+        keeps state math identical (reference moco.py:477-498)."""
         queue, ptr, count, iters = self._queue_vars()
 
         # === INSTANCE (reference moco.py:477-498) ===
@@ -274,11 +270,50 @@ class _MoCoBase(nn.Module):
         aux['q_mlvl'] = q_mlvl
         aux['k_mlvl'] = k_mlvl
         losses = self.moco_head_m.loss(logits, ssl_label, **aux)
+        return losses, dict(q=q, q_mlvl=q_mlvl, k=k, k_mlvl=k_mlvl,
+                            q_neg=l_neg, weight=weight)
 
+    def forward_train(self, im_q, im_k, aux_info=None,
+                      return_features: bool = False,
+                      update_queue: bool = True, train: bool = True):
+        """im_q/im_k: (B, T, H, W, C). Returns losses (, features)."""
+        aux_info = dict(aux_info or {})
+        if not return_features:
+            im_q, im_k, aux_info = self.aug_gpu(
+                self.make_rng('moco'), im_q, im_k, aux_info)
+        q, q_mlvl, k, k_mlvl = self.extract_feat(im_q, im_k, train)
+        losses, features = self._instance_loss(
+            q, q_mlvl, k, k_mlvl, aux_info, update_queue, train)
         if return_features:
-            return losses, dict(q=q, q_mlvl=q_mlvl, k=k, k_mlvl=k_mlvl,
-                                q_neg=l_neg, weight=weight)
+            return losses, features
         return losses
+
+    def forward_train_pair(self, im_q_a, im_k_a, im_q_b, im_k_b,
+                           aux_info=None, update_queue_b: bool = True,
+                           train: bool = True):
+        """Two forward_train passes with ONE batched tower forward.
+
+        Stacks (a, b) on the batch axis so the slim flow-tower convs run
+        at 2B (half the kernel launches / BN fusions), then splits the
+        features and applies the loss + queue bookkeeping sequentially
+        per pass — state math identical to two forward_train calls (a
+        enqueues first, b only if update_queue_b), per reference
+        mscl.py:239-245. DIVERGENCE (opt-in, see PARITY.md): BN batch
+        statistics are computed JOINTLY over the 2B stacked batch; the
+        reference computes them per pass.
+        """
+        aux_info = dict(aux_info or {})
+        b = im_q_a.shape[0]
+        q2, q_mlvl2, k2, k_mlvl2 = self.extract_feat(
+            jnp.concatenate([im_q_a, im_q_b], axis=0),
+            jnp.concatenate([im_k_a, im_k_b], axis=0), train)
+        losses_a, feats_a = self._instance_loss(
+            q2[:b], [m[:b] for m in q_mlvl2], k2[:b],
+            [m[:b] for m in k_mlvl2], aux_info, True, train)
+        losses_b, feats_b = self._instance_loss(
+            q2[b:], [m[b:] for m in q_mlvl2], k2[b:],
+            [m[b:] for m in k_mlvl2], aux_info, update_queue_b, train)
+        return (losses_a, feats_a), (losses_b, feats_b)
 
     def __call__(self, im_q, im_k, aux_info=None, return_loss=True,
                  train: bool = True, **kwargs):

@@ -12,6 +12,7 @@ Parity: reference mmaction/models/recognizers/mscl.py —
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -58,6 +59,12 @@ class MSCLWithAug(nn.Module):
     train_cfg: Any = None
     test_cfg: Any = None
     dtype: Any = jnp.float32
+    # Run the base + FRA flow passes as ONE 2B-stacked tower forward
+    # (halves flow-tower kernel launches; BN stats become joint over the
+    # two passes — opt-in divergence, see PARITY.md and the A/B in
+    # docs/benchmark.md).
+    batch_flow_passes: bool = (
+        os.environ.get('MSCL_FLOW_BATCHED', '0') == '1')
 
     def setup(self):
         self.recognizer_m = _build_sub_recognizer(self.recognizer,
@@ -96,15 +103,23 @@ class MSCLWithAug(nn.Module):
             aug_flow_im_q = aux_info[f'{self.flow_keys[1]}_q']
             aug_flow_im_k = aux_info[f'{self.flow_keys[1]}_k']
 
-        loss_base_flow, base_flow_features = \
-            self.recognizer_flow_m.forward_train(
-                flow_im_q, flow_im_k, aux_info, return_features=True,
-                train=train)
-        loss_aug_flow, aug_flow_features = \
-            self.recognizer_flow_m.forward_train(
-                aug_flow_im_q, aug_flow_im_k, aux_info,
-                return_features=True, update_queue=self.update_aug_flow,
-                train=train)
+        if self.batch_flow_passes:
+            (loss_base_flow, base_flow_features), \
+                (loss_aug_flow, aug_flow_features) = \
+                self.recognizer_flow_m.forward_train_pair(
+                    flow_im_q, flow_im_k, aug_flow_im_q, aug_flow_im_k,
+                    aux_info, update_queue_b=self.update_aug_flow,
+                    train=train)
+        else:
+            loss_base_flow, base_flow_features = \
+                self.recognizer_flow_m.forward_train(
+                    flow_im_q, flow_im_k, aux_info, return_features=True,
+                    train=train)
+            loss_aug_flow, aug_flow_features = \
+                self.recognizer_flow_m.forward_train(
+                    aug_flow_im_q, aug_flow_im_k, aux_info,
+                    return_features=True,
+                    update_queue=self.update_aug_flow, train=train)
         loss_flow = dict(loss_base_flow)
         for k in loss_aug_flow:
             if k.startswith('loss'):

@@ -138,6 +138,46 @@ def set_conv3d_s2d(on: bool) -> None:
     _S2D = bool(on)
 
 
+# Output-W packing (round 4). The layer1 3x3x3 F=64 convs fill only half
+# the MXU's 128 output lanes. Packing two ADJACENT OUTPUT pixels into the
+# channel dim — y'[.., w2, p*F+c] == y[.., 2*w2+p, c] — makes the conv a
+# stride-(1,1,2) conv with a (kt,kh,kw+1,C,2F) kernel (25% structural
+# zeros, +33% MACs at the full-lane rate) and leaves the INPUT untouched
+# (the input-side s2d fold transpose is what killed the round-2/3
+# attempts). Backward is unaffected: _wmat_bwd recomputes the PLAIN
+# conv's vjp from (x, kernel), so grad-input keeps the gidot fast path
+# and grad-weight its natural fused emission. Isolated micro
+# (tools/analysis/bench_outpack.py, v5e): fwd chain 81.1 -> 65.7 ms
+# (1.23x), fwd+bwd-through-packed 1.07x (not used — see above).
+_OUTPACK = os.environ.get('MSCL_CONV3D_OUTPACK', '0') == '1'
+
+
+def set_conv3d_outpack(on: bool) -> None:
+    global _OUTPACK
+    _OUTPACK = bool(on)
+
+
+def _outpack_applicable(x_shape, kernel, stride, padding) -> bool:
+    f = kernel.shape[4]
+    return (_OUTPACK and f <= 64 and x_shape[3] % 2 == 0 and
+            _flip_conv_applicable(kernel, stride, padding))
+
+
+def _outpack_conv(x, kernel, padding):
+    """Forward-only packed evaluation (exact; see tests/test_ops.py)."""
+    kt, kh, kw, c, f = kernel.shape
+    z = jnp.zeros((kt, kh, 1, c, f), kernel.dtype)
+    wp = jnp.concatenate([jnp.concatenate([kernel, z], axis=2),
+                          jnp.concatenate([z, kernel], axis=2)], axis=4)
+    pads = tuple((p, p) if not isinstance(p, tuple) else p
+                 for p in padding)
+    y = lax.conv_general_dilated(
+        x, wp, (1, 1, 2), pads,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+    n, t, h, w2, _ = y.shape
+    return y.reshape(n, t, h, w2 * 2, f)
+
+
 def temporal_subsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     """x[:, ::stride] without a gather: jnp's strided basic indexing
     lowers to stablehlo.gather (and its transpose to a scatter); the
@@ -317,10 +357,14 @@ _conv3d_xla_barrier.defvjp(_conv3d_barrier_fwd, _conv3d_barrier_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _conv3d_xla_wmat(x, kernel, stride, padding):
+    if _outpack_applicable(x.shape, kernel, stride, padding):
+        return _outpack_conv(x, kernel, padding)
     return _conv3d_xla(x, kernel, stride, padding)
 
 
 def _wmat_fwd(x, kernel, stride, padding):
+    if _outpack_applicable(x.shape, kernel, stride, padding):
+        return _outpack_conv(x, kernel, padding), (x, kernel)
     return _conv3d_xla(x, kernel, stride, padding), (x, kernel)
 
 

@@ -156,6 +156,56 @@ class TestMoCoV2:
         np.testing.assert_allclose(np.linalg.norm(q1[:, :BS], axis=0),
                                    1.0, rtol=1e-4)
 
+    def test_forward_train_pair_matches_two_passes(self):
+        """forward_train_pair (the MSCL_FLOW_BATCHED tower-stacking path)
+        must equal two sequential forward_train calls exactly when BN
+        uses running stats (train=False isolates the one documented
+        divergence: joint vs per-pass batch statistics)."""
+        model, tx = build_moco()
+        ba, bb = moco_batch(1), moco_batch(2)
+        state = init_state(model, tx, ba, post_init_fn=sync_key_variables)
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats,
+                     'moco_state': state.moco_state}
+        nthwc = lambda x: jnp.transpose(jnp.asarray(x), (0, 2, 3, 4, 1))
+        qa, ka = nthwc(ba['imgs'][0]), nthwc(ba['imgs'][1])
+        qb, kb = nthwc(bb['imgs'][0]), nthwc(bb['imgs'][1])
+        rngs = {'moco': jax.random.PRNGKey(7)}
+
+        (la, fa), v1 = model.apply(
+            variables, qa, ka, {}, return_features=True, train=False,
+            method='forward_train', mutable=['moco_state'], rngs=rngs)
+        (lb, fb), v2 = model.apply(
+            {**variables, 'moco_state': v1['moco_state']}, qb, kb, {},
+            return_features=True, update_queue=True, train=False,
+            method='forward_train', mutable=['moco_state'], rngs=rngs)
+
+        ((pla, pfa), (plb, pfb)), vp = model.apply(
+            variables, qa, ka, qb, kb, {}, update_queue_b=True,
+            train=False, method='forward_train_pair',
+            mutable=['moco_state'], rngs=rngs)
+
+        for sep, pair in ((la, pla), (lb, plb)):
+            for key in sep:
+                np.testing.assert_allclose(np.asarray(sep[key]),
+                                           np.asarray(pair[key]),
+                                           rtol=1e-5, atol=1e-5)
+        for sep, pair in ((fa, pfa), (fb, pfb)):
+            np.testing.assert_allclose(np.asarray(sep['q']),
+                                       np.asarray(pair['q']),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(sep['k']),
+                                       np.asarray(pair['k']),
+                                       rtol=1e-5, atol=1e-5)
+        # queue bookkeeping: both passes enqueued, in order (a then b)
+        ms_sep, ms_pair = v2['moco_state'], vp['moco_state']
+        assert int(ms_pair['queue_ptr']) == int(ms_sep['queue_ptr'])
+        np.testing.assert_allclose(np.asarray(ms_sep['queue']),
+                                   np.asarray(ms_pair['queue']),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ms_sep['count']),
+                                      np.asarray(ms_pair['count']))
+
     def test_runs_sharded_on_mesh(self):
         model, tx = build_moco()
         batch = moco_batch()
@@ -243,6 +293,33 @@ class TestMSCLWithAug:
         assert int(state1.moco_state['recognizer_flow_m']
                    ['iters']) == 2 * BS
         assert int(state1.moco_state['recognizer_m']['iters']) == BS
+
+    def test_batched_flow_passes_composite(self):
+        """batch_flow_passes=True (MSCL_FLOW_BATCHED): same loss surface
+        and same queue/iters bookkeeping as the two-pass path (values
+        differ only through joint-vs-per-pass BN batch stats)."""
+        model = RECOGNIZERS.get('MSCLWithAug')(
+            **mscl_model_cfg(), batch_flow_passes=True)
+        lr = build_lr_schedule(dict(policy='fixed'), 0.02, 1, 1)
+        tx = build_optimizer(
+            dict(type='SGD', lr=0.02, momentum=0.9, weight_decay=1e-4),
+            lr, grad_clip=dict(max_norm=40),
+            freeze_patterns=('encoder_k', 'neck_k', 'mlp_k'))
+        batch = mscl_batch()
+        state = init_state(model, tx, batch,
+                           post_init_fn=sync_key_variables)
+        step = jax.jit(make_train_step(model, tx, build_ema_fn(model)))
+        state1, log_vars = step(state, batch)
+        for key in ['loss_cls', 'loss_cls_flow', 'loss_cls_flow_aug',
+                    'loss_cls_mx', 'loss_cls_mx_r', 'loss_cls_mx_aug',
+                    'loss_cls_mx_r_aug', 'loss_pos', 'loss']:
+            assert key in log_vars, (key, sorted(log_vars))
+            assert np.isfinite(float(log_vars[key])), key
+        # bookkeeping identical to the two-pass path
+        assert int(state1.moco_state['recognizer_flow_m']
+                   ['queue_ptr']) == BS
+        assert int(state1.moco_state['recognizer_flow_m']
+                   ['iters']) == 2 * BS
 
     def test_loss_decreases(self):
         model = RECOGNIZERS.get('MSCLWithAug')(**mscl_model_cfg())

@@ -283,6 +283,38 @@ class TestConv3dRewrites:
         for a, b in zip(g, gref):
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize('cin,cout,w_sz', [
+        (64, 64, 8),    # the layer1 class outpack targets
+        (32, 64, 8),    # rectangular io, still F<=64
+        (64, 64, 7),    # odd W: ineligible, must fall through exact
+        (64, 128, 8),   # F>64: ineligible, must fall through exact
+    ])
+    def test_outpack_exact(self, cin, cout, w_sz):
+        """MSCL_CONV3D_OUTPACK packs two output-W pixels into channels
+        on the forward only; values and both grads must match plain
+        autodiff (backward goes through the unpacked gidot path)."""
+        from mscl_tpu.ops import conv3d as c3
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, w_sz, cin))
+        w = jax.random.normal(jax.random.PRNGKey(1),
+                              (3, 3, 3, cin, cout)) * .1
+        ref, gref = self._ref(x, w, (1, 1, 1), (1, 1, 1))
+        prev = c3._BWD_BARRIER
+        c3.set_conv3d_bwd_barrier('gidot')
+        c3.set_conv3d_outpack(True)
+        try:
+            out = c3.conv3d(x, w, (1, 1, 1), (1, 1, 1))
+            g = jax.grad(lambda a, b: jnp.sum(jnp.tanh(
+                c3.conv3d(a, b, (1, 1, 1), (1, 1, 1)))),
+                argnums=(0, 1))(x, w)
+        finally:
+            c3.set_conv3d_outpack(False)
+            c3.set_conv3d_bwd_barrier(prev)
+        # packed forward sums taps in a different order -> 1e-5-scale
+        # noise on f32 (13/110k elements at atol 2e-5 on first run)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-4)
+        for a, b in zip(g, gref):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-4)
+
     @pytest.mark.parametrize('mode', ['giwmat', 'gidot'])
     def test_wmat_strided_fallback_exact(self, mode):
         """giwmat/gidot only rewrite stride-1 SAME convs; strided convs
