@@ -40,6 +40,12 @@ def set_neck_tpuconv(on: bool) -> None:
 
 
 class TpuConv(nn.Module):
+    """RESTRICTION (ADVICE r3): 'SAME' is only accepted for stride-1
+    odd-kernel convs (where it equals symmetric k//2 padding — the only
+    form the necks use); a strided-'SAME' call site raises AssertionError
+    instead of silently diverging from nn.Conv's per-dim lo/hi split.
+    Pass an explicit per-dim padding (or use ``neck_conv``, whose
+    eligibility gate routes such sites back to nn.Conv)."""
     features: int
     kernel_size: Tuple[int, int, int]
     strides: Tuple[int, int, int] = (1, 1, 1)
