@@ -23,19 +23,27 @@ from tools.analysis.attribute_fusions import (load_trace_times,
 
 
 def fusion_meta_paths(txt):
-    """fusion name -> all op_name strings inside its computation."""
+    """fusion name -> op_name strings inside its computation, with any
+    CONVOLUTION/dot op_names FIRST. XLA multi-output fusions routinely
+    mix subsystems (a conv fused with the NEXT op's BN reduce), so
+    bucketing must follow the dominant (MXU) op, not whichever op_name
+    happens to match a pattern first."""
     comps = parse_hlo_computations(txt)
     fusion_calls = dict(re.findall(
         r'%([\w\.\-]+) = [^=]*? fusion\([^)]*\)[^\n]*?calls=%([\w\.\-]+)',
         txt))
     out = {}
     for fus, comp in fusion_calls.items():
-        metas = []
+        heavy, rest = [], []
         for op in comps.get(comp, []):
             m = re.search(r'op_name="([^"]*)"', op)
-            if m:
-                metas.append(m.group(1))
-        out[fus] = metas
+            if not m:
+                continue
+            if re.search(r' convolution\(| dot\(', op):
+                heavy.append(m.group(1))
+            else:
+                rest.append(m.group(1))
+        out[fus] = heavy + rest
     return out
 
 
@@ -53,9 +61,14 @@ BUCKETS = (
 
 
 def bucket_of(metas):
-    joined = ' '.join(metas)
-    if not joined:
+    if not metas:
         return 'no-metadata'
+    # first meta is the heavy (conv/dot) op when one exists — bucket by
+    # it alone; fall back to the joined surface for pure-VPU fusions
+    for name, pat in BUCKETS:
+        if re.search(pat, metas[0]):
+            return name
+    joined = ' '.join(metas)
     for name, pat in BUCKETS:
         if re.search(pat, joined):
             return name
