@@ -318,3 +318,63 @@ class TestRetrievalWorkload:
         metrics = retrieval_recall(feats, labels, feats, labels,
                                    topk=(1,))
         assert metrics['recall@1'] == 1.0  # self-retrieval
+
+
+class TestCLISurfaces:
+
+    @pytest.mark.slow
+    def test_tools_test_cli(self, data_root, tmp_path_factory):
+        """Drive the real `tools/test.py` CLI end-to-end (config file on
+        disk -> checkpoint restore -> sharded inference -> metrics json)
+        — the one user surface the API-level tests above don't touch."""
+        import json
+        import runpy
+        import sys
+
+        from flax import serialization
+        from mscl_tpu.apis.train import (build_model_from_cfg,
+                                         example_batch_from)
+        from mscl_tpu.core import (build_lr_schedule, build_optimizer,
+                                   init_state, save_checkpoint)
+        from mscl_tpu.datasets import build_dataset
+
+        work = tmp_path_factory.mktemp('cli_test')
+        cfg = finetune_cfg(data_root, str(work), 'unused')
+        # an init-state checkpoint is enough to exercise the CLI path
+        model = build_model_from_cfg(
+            {k: v for k, v in dict(cfg.model).items()
+             if k != 'train_cfg'})
+        lr = build_lr_schedule(dict(policy='fixed'), 0.0, 1, 1)
+        tx = build_optimizer(dict(type='SGD', lr=0.0), lr)
+        ds_cfg = dict(cfg.data['test'])
+        ds_cfg['test_mode'] = True
+        ds = build_dataset(ds_cfg)
+        state = init_state(model, tx, example_batch_from(ds, 8))
+        ckpt = save_checkpoint(serialization.to_state_dict(state),
+                               str(work), epoch=1)
+
+        pipeline = dict(cfg.data['test'])['pipeline']
+        cfg_py = work / 'test_cfg.py'
+        cfg_py.write_text(
+            'model = dict(type="Recognizer3D",\n'
+            '    backbone=dict(type="test.tiny3d"),\n'
+            '    cls_head=dict(type="I3DHead", num_classes=2,\n'
+            '                  in_channels=64, spatial_type="avg",\n'
+            '                  dropout_ratio=0.5),\n'
+            '    test_cfg=dict(average_clips="prob"))\n'
+            'data = dict(videos_per_gpu=1, workers_per_gpu=0,\n'
+            f'    test=dict(type="FileRawframeDataset",\n'
+            f'              pkl_path={data_root["pkl"]!r},\n'
+            f'              pipeline={pipeline!r}))\n')
+        out_json = work / 'metrics.json'
+        argv = sys.argv
+        sys.argv = ['tools/test.py', str(cfg_py), ckpt,
+                    '--metrics', 'top_k_accuracy',
+                    '--out', str(out_json)]
+        try:
+            runpy.run_path('tools/test.py', run_name='__main__')
+        finally:
+            sys.argv = argv
+        metrics = json.loads(out_json.read_text())
+        assert 'top1_acc' in metrics and 'top5_acc' in metrics
+        assert 0.0 <= metrics['top1_acc'] <= 1.0
