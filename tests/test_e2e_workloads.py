@@ -378,3 +378,42 @@ class TestCLISurfaces:
         metrics = json.loads(out_json.read_text())
         assert 'top1_acc' in metrics and 'top5_acc' in metrics
         assert 0.0 <= metrics['top1_acc'] <= 1.0
+
+    @pytest.mark.slow
+    def test_tools_test_retrieval_cli(self, data_root,
+                                      tmp_path_factory):
+        """Drive the real `tools/test_retrieval.py` CLI (train + test
+        feature extraction -> kNN recall json)."""
+        import json
+        import runpy
+        import sys
+
+        work = tmp_path_factory.mktemp('cli_retrieval')
+        cfg = finetune_cfg(data_root, str(work), 'unused')
+        pipeline = dict(cfg.data['test'])['pipeline']
+        ds_py = (f'dict(type="FileRawframeDataset",\n'
+                 f'     pkl_path={data_root["pkl"]!r},\n'
+                 f'     pipeline={pipeline!r})')
+        cfg_py = work / 'retrieval_cfg.py'
+        cfg_py.write_text(
+            'model = dict(type="Recognizer3D",\n'
+            '    backbone=dict(type="test.tiny3d"),\n'
+            '    cls_head=dict(type="I3DHead", num_classes=2,\n'
+            '                  in_channels=64, spatial_type="avg",\n'
+            '                  dropout_ratio=0.5),\n'
+            '    test_cfg=dict(average_clips="prob"))\n'
+            'data = dict(videos_per_gpu=1, workers_per_gpu=0,\n'
+            f'    train={ds_py},\n'
+            f'    test={ds_py})\n')
+        out_json = work / 'recall.json'
+        argv = sys.argv
+        sys.argv = ['tools/test_retrieval.py', str(cfg_py),
+                    '--out', str(out_json)]
+        try:
+            runpy.run_path('tools/test_retrieval.py',
+                           run_name='__main__')
+        finally:
+            sys.argv = argv
+        metrics = json.loads(out_json.read_text())
+        # train == test set -> self-retrieval is perfect at any init
+        assert metrics['recall@1'] == 1.0
