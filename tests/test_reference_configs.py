@@ -22,9 +22,11 @@ from mscl_tpu.models import build_model
 
 REF_CFG_ROOT = '/root/reference/configs'
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_CFG_ROOT),
-    reason='reference checkout not mounted')
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF_CFG_ROOT),
+                       reason='reference checkout not mounted'),
+    pytest.mark.slow,  # 252-config sweep (suite tiering)
+]
 
 
 def _all_reference_configs():

@@ -20,8 +20,11 @@ from mscl_tpu.models import build_model
 
 MOCO_DIR = '/root/reference/configs/recognition/moco'
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(MOCO_DIR), reason='reference checkout not mounted')
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(MOCO_DIR),
+                       reason='reference checkout not mounted'),
+    pytest.mark.slow,  # full moco-config init traces (suite tiering)
+]
 
 
 def _moco_batch(cfg):
