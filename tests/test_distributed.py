@@ -18,6 +18,8 @@ import cv2
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute campaign (suite tiering, VERDICT r3 weak #4)
+
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 WORKER = '''
@@ -25,7 +27,6 @@ import os, sys, runpy
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
 import jax
 
-pytestmark = pytest.mark.slow  # multi-minute campaign (suite tiering, VERDICT r3 weak #4)
 jax.config.update('jax_platforms', 'cpu')
 sys.argv = ['tools/train.py', sys.argv[1],
             '--coordinator', sys.argv[2],

@@ -17,6 +17,7 @@ from mscl_tpu.models.backbones.extern_2d import (BottleneckX, DenseLayer,
 
 pytestmark = pytest.mark.slow  # multi-minute campaign (suite tiering, VERDICT r3 weak #4)
 
+
 RNGS = {'params': jax.random.PRNGKey(0)}
 
 

@@ -12,6 +12,7 @@ from mscl_tpu.models import BACKBONES, RECOGNIZERS
 
 pytestmark = pytest.mark.slow  # multi-minute campaign (suite tiering, VERDICT r3 weak #4)
 
+
 RNGS = {'params': jax.random.PRNGKey(0),
         'dropout': jax.random.PRNGKey(0),
         'moco': jax.random.PRNGKey(0)}
