@@ -103,11 +103,20 @@ def neck_conv(features: int, kernel_size, *, strides=(1, 1, 1),
     supported surface). Flip with MSCL_NECK_TPUCONV / set_neck_tpuconv.
     """
     ks = tuple(kernel_size)
+    # ADVICE r4: asymmetric per-dim pairs are outside TpuConv's surface
+    # (its normalization asserts p[0]==p[1]) — route them to nn.Conv.
+    if isinstance(padding, str):
+        # Only 'SAME' (stride-1, odd kernel — where it equals symmetric
+        # k//2 pads) is inside TpuConv's surface; 'VALID' etc. stay on
+        # nn.Conv.
+        pad_ok = (padding == 'SAME' and tuple(strides) == (1, 1, 1) and
+                  all(k % 2 == 1 for k in ks))
+    else:
+        pad_ok = (isinstance(padding, int) or
+                  all((not isinstance(p, (tuple, list))) or p[0] == p[1]
+                      for p in padding))
     eligible = (feature_group_count == 1 and
-                tuple(kernel_dilation) == (1, 1, 1) and
-                (padding != 'SAME' or
-                 (tuple(strides) == (1, 1, 1) and
-                  all(k % 2 == 1 for k in ks))))
+                tuple(kernel_dilation) == (1, 1, 1) and pad_ok)
     if _NECK_TPUCONV and eligible:
         return TpuConv(features, ks, strides=tuple(strides),
                        padding=padding, use_bias=use_bias,

@@ -400,3 +400,39 @@ class TestConv3dRewrites:
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
         for a, b in zip(g, gref):
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+class TestNeckConvDispatch:
+    """neck_conv eligibility gate (ADVICE r4): anything outside
+    TpuConv's supported surface must route to flax nn.Conv instead of
+    crashing inside TpuConv's padding normalization."""
+
+    CASES = [
+        # (kwargs, expect_tpuconv)
+        (dict(padding='SAME'), True),
+        (dict(padding=1), True),
+        (dict(padding=((0, 0), (1, 1), (1, 1))), True),
+        (dict(padding=((0, 1), (0, 0), (0, 0))), False),  # asymmetric
+        (dict(padding='VALID'), False),
+        (dict(padding='SAME', strides=(1, 2, 2)), False),
+        (dict(padding=1, feature_group_count=2), False),
+        (dict(padding=1, kernel_dilation=(1, 2, 2)), False),
+    ]
+
+    @pytest.mark.parametrize('kwargs,expect_tpu', CASES)
+    def test_dispatch_and_exec(self, kwargs, expect_tpu):
+        from flax import linen as nn
+        from mscl_tpu.models.common.tpu_conv import TpuConv, neck_conv
+        kw = dict(kwargs)
+        strides = kw.pop('strides', (1, 1, 1))
+        mod = neck_conv(16, (3, 3, 3), strides=strides, **kw)
+        assert isinstance(mod, TpuConv) == expect_tpu, mod
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 8))
+        variables = mod.init(jax.random.PRNGKey(1), x)
+        out = mod.apply(variables, x)
+        assert out.shape[0] == 1 and out.shape[-1] == 16
+        # Identical param tree either way (checkpoint compatibility).
+        assert set(variables['params']) == {'kernel', 'bias'}
+        groups = kwargs.get('feature_group_count', 1)
+        assert variables['params']['kernel'].shape == \
+            (3, 3, 3, 8 // groups, 16)

@@ -50,23 +50,35 @@ def main():
     with open(args.formatted_proposal_file, 'w') as out:
         for idx, (video_name, info) in enumerate(anno.items()):
             vid = video_name[2:]  # strip the 'v_' prefix
+            if vid not in results:  # ADVICE r4: ref raises KeyError here
+                print(f'warning: {vid} missing from proposal results, '
+                      'skipping')
+                continue
             gts = np.array([[a['segment'][0], a['segment'][1],
                              activity_index[a['label']]]
                             for a in info['annotations']], dtype=float)
             props = np.array([[r['segment'][0], r['segment'][1],
                                r['score']] for r in results[vid]],
                              dtype=float)
+            n_gt = gts.shape[0] if gts.size else 0
+            n_prop = props.shape[0] if props.size else 0
+            out.write(f'#{idx}\n{vid}\n{info["duration_frame"]}\n'
+                      f'{info["fps"]}\n{n_gt}\n')
+            for g in (gts if n_gt else []):
+                out.write(f'{int(g[2])} {g[0]} {g[1]}\n')
+            out.write(f'{n_prop}\n')
+            if n_prop == 0:
+                continue
+            if n_gt == 0:
+                for i in range(n_prop):
+                    out.write(f'0 0 0 {props[i][0]} {props[i][1]}\n')
+                continue
             iou, overlap = segment_iou_and_overlap(props[:, :2],
                                                    gts[:, :2])
-            out.write(f'#{idx}\n{vid}\n{info["duration_frame"]}\n'
-                      f'{info["fps"]}\n{gts.shape[0]}\n')
-            for g in gts:
-                out.write(f'{int(g[2])} {g[0]} {g[1]}\n')
-            out.write(f'{props.shape[0]}\n')
             bi, bo = iou.max(axis=0), overlap.max(axis=0)
             lab_i = gts[iou.argmax(axis=0), 2].astype(int)
             lab_o = gts[overlap.argmax(axis=0), 2].astype(int)
-            for i in range(props.shape[0]):
+            for i in range(n_prop):
                 label = lab_i[i] if (lab_i[i] == lab_o[i] or
                                      lab_i[i] != 0) else lab_o[i]
                 if bi[i] == 0 and bo[i] == 0:

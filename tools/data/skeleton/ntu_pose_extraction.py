@@ -12,6 +12,12 @@ unit-tested in tests/test_data_tools.py) is importable and reusable,
 while the model-driven CLI is gated: it accepts precomputed per-frame
 detections/keypoints (npz) and assembles the PoseDataset anno pkl our
 `PoseDataset`/`GeneratePoseTarget` consume.
+
+DELIBERATE DIVERGENCE (ADVICE r4): the anno `label` is written 0-based
+(``int(...Axxx...) - 1``). The reference writes the raw 1-based NTU
+action id, which would index out of range in a ``num_classes``-sized
+head; our PoseDataset/heads expect 0-based labels, so the -1 here is
+intentional (also noted in PARITY.md).
 """
 import argparse
 import pickle
