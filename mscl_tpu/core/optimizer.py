@@ -96,43 +96,68 @@ def build_optimizer(optimizer_cfg: Dict,
 
     optimizer_cfg: dict(type='SGD', lr=..., momentum=..., weight_decay=...)
     grad_clip: dict(max_norm=..., norm_type=2) or None
+    paramwise_cfg.custom_keys (mmcv DefaultOptimizerConstructor
+    semantics, used by the reference timesformer/TIN configs): each
+    parameter takes the lr_mult/decay_mult of its LONGEST matching key;
+    dotted keys match '/'-joined flax paths.
     """
     cfg = dict(optimizer_cfg)
     if cfg.get('constructor') == 'TSMOptimizerConstructor':
         return build_tsm_optimizer(cfg, lr_schedule, grad_clip)
     cfg.pop('constructor', None)
-    cfg.pop('paramwise_cfg', None)
+    pw = dict(cfg.pop('paramwise_cfg', {}) or {})
+    custom_keys = {k.replace('.', '/').strip('/'): dict(v)
+                   for k, v in (pw.get('custom_keys') or {}).items()}
     opt_type = cfg.pop('type', 'SGD')
     cfg.pop('lr', None)  # schedule supplies lr
-    chain = []
-    if grad_clip:
-        assert grad_clip.get('norm_type', 2) == 2, 'only L2 clip supported'
-        chain.append(optax.clip_by_global_norm(grad_clip['max_norm']))
+    wd = cfg.pop('weight_decay', 0.0)
     if opt_type in ('SGD', 'CopyOfSGD'):
-        wd = cfg.pop('weight_decay', 0.0)
         momentum = cfg.pop('momentum', 0.0)
         nesterov = cfg.pop('nesterov', False)
-        if wd:
-            chain.append(optax.add_decayed_weights(wd))
-        if momentum:
-            chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+
+        def make_group(lr_mult=1.0, decay_mult=1.0):
+            return _sgd_group(lr_schedule, lr_mult, wd * decay_mult,
+                              momentum, nesterov)
     elif opt_type in ('Adam', 'AdamW'):
-        wd = cfg.pop('weight_decay', 0.0)
         betas = cfg.pop('betas', (0.9, 0.999))
         eps = cfg.pop('eps', 1e-8)
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
-        if wd:
-            chain.append(optax.add_decayed_weights(wd))
+
+        def make_group(lr_mult=1.0, decay_mult=1.0):
+            chain = [optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                         eps=eps)]
+            if wd * decay_mult:
+                chain.append(optax.add_decayed_weights(wd * decay_mult))
+            chain.append(optax.scale_by_learning_rate(
+                lambda s: lr_mult * lr_schedule(s)))
+            return optax.chain(*chain)
     else:
         raise NotImplementedError(f'optimizer {opt_type}')
-    chain.append(optax.scale_by_learning_rate(lr_schedule))
-    tx = optax.chain(*chain)
-    if freeze_patterns:
+
+    groups = {'default': make_group()}
+    for i, v in enumerate(custom_keys.values()):
+        groups[f'ck{i}'] = make_group(v.get('lr_mult', 1.0),
+                                      v.get('decay_mult', 1.0))
+    by_len = sorted(enumerate(custom_keys), key=lambda iv: -len(iv[1]))
+
+    def group_of(path_str: str) -> str:
+        if any(pat in path_str for pat in freeze_patterns):
+            return 'frozen'
+        for i, key in by_len:
+            if key in path_str:
+                return f'ck{i}'
+        return 'default'
+
+    if custom_keys or freeze_patterns:
+        groups['frozen'] = optax.set_to_zero()
+
         def label_fn(params):
             return jax.tree_util.tree_map_with_path(
-                lambda path, _: 'frozen' if any(
-                    pat in _path_str(path) for pat in freeze_patterns)
-                else 'train', params)
-        tx = optax.multi_transform(
-            {'train': tx, 'frozen': optax.set_to_zero()}, label_fn)
+                lambda path, _: group_of(_path_str(path)), params)
+        tx = optax.multi_transform(groups, label_fn)
+    else:
+        tx = groups['default']
+    if grad_clip:
+        assert grad_clip.get('norm_type', 2) == 2, 'only L2 clip supported'
+        tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip['max_norm']), tx)
     return tx

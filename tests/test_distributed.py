@@ -232,3 +232,120 @@ def test_dryrun_multichip_other_sizes(n, tmp_path):
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert f'dryrun_multichip({n}): one full MSCL train step OK' in \
         out.stdout
+
+
+def _allclose_tree(a, b, rtol=1e-4, atol=1e-5, what=''):
+    import jax
+    for (path, la), lb in zip(
+            jax.tree_util.tree_flatten_with_path(a)[0],
+            jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            rtol=rtol, atol=atol,
+            err_msg=f'{what}{jax.tree_util.keystr(path)}')
+
+
+class TestDPInvariance:
+    """VERDICT r4 #3: the actual DP contract — an n=8 run must EQUAL an
+    n=1 run on the same global batch (reference DDP replica equivalence,
+    apis/train.py:84-88) — asserted numerically, not structurally.
+    Global-batch BN (default) and the shuffle_bn=g faithful variant are
+    both defined over the GLOBAL batch (a shared-PRNG permutation +
+    global-slice groups, moco.py docstring), so every arm here must be
+    device-count invariant to reduction-order tolerance."""
+
+    def _build(self, shuffle_bn=0, batch_flow_passes=False, bs=8):
+        from functools import partial
+
+        from mscl_tpu.apis.train import build_model_from_cfg
+        from mscl_tpu.core import (build_lr_schedule, build_optimizer,
+                                   init_state, make_train_step)
+        from mscl_tpu.models import BACKBONES
+        from mscl_tpu.models.backbones.video_resnet import VideoResNet
+        from mscl_tpu.models.recognizers import (build_ema_fn,
+                                                 sync_key_variables)
+        if 'dpinv.tiny3d' not in BACKBONES:
+            BACKBONES.register_module(
+                name='dpinv.tiny3d',
+                module=partial(VideoResNet, block='basic',
+                               conv_makers=('simple3d',) * 4,
+                               layers=(1, 1, 1, 1), stem='flow_basic',
+                               base_width=16))
+        T, hw = 4, 16
+        moco = lambda name: dict(   # noqa: E731
+            type='MoCoV2', backbone=dict(type='dpinv.tiny3d'),
+            neck=dict(type='BaseMoCo'),
+            moco_head=dict(type='MoCoHead', basename=name,
+                           loss_cls=dict(type='CrossEntropyLoss_torch',
+                                         ignore_index=-1)),
+            im_key='imgs', dim_in=128, dim=16, K=16, m_base=0.99,
+            max_iters=1000, T=0.07, mlp=True, aux_info=[],
+            shuffle_bn=shuffle_bn, aug=dict(type='IdentityAug'))
+        cfg = dict(
+            type='MSCLWithAug', recognizer=moco(''),
+            recognizer_flow=moco('flow'),
+            moco_mx_head=dict(type='MSCLWithAugMxHead', basename='mx',
+                              loss_cls=dict(
+                                  type='CrossEntropyLoss_torch',
+                                  ignore_index=-1),
+                              same_kn=True, T=0.07),
+            sup_head=dict(type='MSCLWithAugPosHeadV2', basename='',
+                          loss_pos=dict(type='CrossEntropyLoss_torch',
+                                        ignore_index=-1),
+                          bkb_channels=(16, 128), t=T // 2, T=0.07,
+                          aux_keys=dict(
+                              im_features=dict(q_mlvl='q_mlvl'),
+                              base_flow_features=dict(
+                                  q_mlvl='q_flow_mlvl'),
+                              aug_flow_features=dict(
+                                  q_mlvl='q_aug_flow_mlvl'))),
+            im_key='imgs', flow_key='flow_imgs', aux_info=[],
+            update_aug_flow=False, weight_aug_flow=(1.0, 1.0),
+            batch_flow_passes=batch_flow_passes,
+            aug=dict(type='SyncMoCoAugmentV5', crop_size=hw,
+                     sync_level=('batch', 'batch'), t=(T, T),
+                     flow_suffix='flow_imgs', weak_aug=(False, False),
+                     visualize=True),
+            same_kn=True)
+        model = build_model_from_cfg(cfg)
+        lr = build_lr_schedule(dict(policy='fixed'), 0.05, 1, 1)
+        tx = build_optimizer(
+            dict(type='SGD', lr=0.05, momentum=0.9, weight_decay=1e-4),
+            lr, grad_clip=dict(max_norm=40),
+            freeze_patterns=('encoder_k', 'neck_k', 'mlp_k'))
+        rng = np.random.default_rng(0)
+        batch = {
+            'imgs': [rng.uniform(size=(bs, 3, T, hw, hw))
+                     .astype(np.float32) for _ in range(2)],
+            'flow_imgs': [rng.normal(size=(bs, 2, 2 * T, hw, hw))
+                          .astype(np.float32) for _ in range(2)],
+        }
+        state = init_state(model, tx, batch,
+                           post_init_fn=sync_key_variables)
+        step = make_train_step(model, tx, build_ema_fn(model))
+        return state, step, batch
+
+    @pytest.mark.parametrize('arm', ['default', 'shuffle_bn', 'flow_batched'])
+    def test_n8_equals_n1(self, arm):
+        import jax
+
+        from mscl_tpu.parallel.mesh import (create_mesh, replicated,
+                                            shard_batch)
+        state, step, batch = self._build(
+            shuffle_bn=4 if arm == 'shuffle_bn' else 0,
+            batch_flow_passes=(arm == 'flow_batched'))
+        results = []
+        for n in (1, 8):
+            mesh = create_mesh(n)
+            st = jax.device_put(state, replicated(mesh))
+            db = shard_batch(batch, mesh)
+            new_state, log_vars = jax.jit(step)(st, db)
+            results.append((jax.device_get(new_state),
+                            jax.device_get(log_vars)))
+        (s1, l1), (s8, l8) = results
+        assert l1['loss'] == pytest.approx(l8['loss'], rel=1e-4)
+        _allclose_tree(l1, l8, what='log_vars')
+        _allclose_tree(s1.params, s8.params, what='params')
+        _allclose_tree(s1.batch_stats, s8.batch_stats,
+                       what='batch_stats')
+        _allclose_tree(s1.moco_state, s8.moco_state, what='moco_state')

@@ -225,6 +225,38 @@ class TestTINScheduleAndTSMOptimizer:
         assert get('cls_head', 'fc_cls', 'kernel') == -5.0
         assert get('cls_head', 'fc_cls', 'bias') == -10.0
 
+    def test_custom_keys_param_groups(self):
+        """paramwise_cfg.custom_keys (mmcv DefaultOptimizerConstructor,
+        reference timesformer/TIN configs): lr_mult scales the update,
+        decay_mult scales wd, longest key wins, dotted keys match
+        '/'-joined paths; freeze_patterns still zero their subtree."""
+        import jax
+        import jax.numpy as jnp
+        from mscl_tpu.core import build_lr_schedule, build_optimizer
+        params = {
+            'backbone': {'cls_token': jnp.ones(4),
+                         'pos_embed': jnp.ones(4),
+                         'blocks': {'kernel': jnp.ones(4)}},
+            'head': {'kernel': jnp.ones(4)}}
+        lr = build_lr_schedule(dict(policy='fixed'), 1.0, 1, 1)
+        tx = build_optimizer(
+            dict(type='SGD', lr=1.0, momentum=0.0, weight_decay=0.1,
+                 paramwise_cfg=dict(custom_keys={
+                     '.backbone.cls_token': dict(decay_mult=0.0),
+                     '.backbone': dict(lr_mult=0.5)})),
+            lr, freeze_patterns=('head',))
+        grads = jax.tree.map(jnp.ones_like, params)
+        ups, _ = tx.update(grads, tx.init(params), params)
+        # cls_token: longest key wins -> wd off, lr_mult default 1
+        assert float(ups['backbone']['cls_token'][0]) == \
+            pytest.approx(-1.0)
+        # pos_embed: '.backbone' -> lr_mult 0.5, wd on (grad 1 + 0.1*1)
+        assert float(ups['backbone']['pos_embed'][0]) == \
+            pytest.approx(-0.55)
+        assert float(ups['backbone']['blocks']['kernel'][0]) == \
+            pytest.approx(-0.55)
+        assert float(ups['head']['kernel'][0]) == 0.0
+
 
 class TestPreemptionCheckpoint:
 

@@ -37,9 +37,50 @@ FAMILIES = {
 }
 
 
+def run_all(args):
+    """VERDICT r4 #8: the whole zoo sweep as ONE command writing ONE
+    evidence JSON. Each family runs in a fresh subprocess (the axon TPU
+    is exclusive and per-family compiles leak VMEM across programs), in
+    train then serving mode, sequentially."""
+    import os
+    import subprocess
+    rows = []
+    for name in FAMILIES:
+        for infer in (False, True):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   '--model', name, '--steps', str(args.steps),
+                   '--warmup', str(args.warmup), '--dtype', args.dtype]
+            if infer:
+                cmd.append('--infer')
+            mode = 'infer' if infer else 'train'
+            print(f'=== {name} [{mode}] ===', file=sys.stderr, flush=True)
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=3600)
+            line = out.stdout.strip().splitlines()[-1] if \
+                out.stdout.strip() else ''
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                rows.append({'model': name, 'mode': mode, 'error':
+                             (out.stderr or out.stdout)[-800:]})
+            print(line or out.stderr[-400:], file=sys.stderr, flush=True)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
+        with open(args.out, 'w') as f:
+            json.dump(rows, f, indent=1)
+        print(f'wrote {args.out}', file=sys.stderr)
+    print(json.dumps(rows))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--model', required=True, choices=list(FAMILIES))
+    p.add_argument('--model', choices=list(FAMILIES))
+    p.add_argument('--all', action='store_true',
+                   help='sweep every family (train + serving) and write '
+                        'one evidence JSON (--out)')
+    p.add_argument('--out', default=None,
+                   help='with --all: aggregate JSON path, e.g. '
+                        'docs/evidence/zoo_r5.json')
     p.add_argument('--steps', type=int, default=50)
     p.add_argument('--warmup', type=int, default=3)
     p.add_argument('--dtype', default='bfloat16')
@@ -47,6 +88,11 @@ def main():
                    help='measure forward-only (serving) throughput '
                         'instead of a training step')
     args = p.parse_args()
+    if args.all:
+        run_all(args)
+        return
+    if not args.model:
+        p.error('--model or --all is required')
 
     import jax
     import jax.numpy as jnp
@@ -125,7 +171,8 @@ def main():
     clips = bs * args.steps / dt
     ref_clips_per_gpu = bs / ref_s_iter
     print(json.dumps({
-        'model': args.model, 'batch': bs, 'input': list(shape),
+        'model': args.model, 'mode': 'train', 'batch': bs,
+        'input': list(shape),
         'ms_per_step': round(ms, 1),
         'clips_per_sec_per_chip': round(clips, 1),
         'ref_v100_clips_per_sec_per_gpu': round(ref_clips_per_gpu, 1),
