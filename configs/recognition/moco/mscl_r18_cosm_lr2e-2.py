@@ -78,6 +78,10 @@ train_pipeline = [
     dict(type='MatchFlow', gap=2, adjacent=8, flow_key='nids_flow'),
     dict(type='TemporalShiftChosenSampleFrames', clip_len=num_frames,
          frame_interval=stride, num_clips=1, shift_range=1),
+    # host-decode optimization: pre-sample the crop boxes so LocalDecode
+    # can half-scale-decode the halves whose crop allows it (same crop
+    # distribution; MoCoRandomResizedCrop consumes the pre-sampled boxes)
+    dict(type='MoCoDecodePlan', target=image_shape, area_range=(0.2, 1.0)),
     dict(type='LocalDecode'),
     dict(type='NormFlowWithStidedAug', ratios=(0.2, 1.8), num_chunks=8,
          merge_aug=True),

@@ -13,8 +13,9 @@ from .combined_augmentations import MoCoTransform
 from .mcl_augmentations import MCLRandomResizedCrop, motion_map_from_flow
 from .pose_loading import (GeneratePoseTarget, LoadKineticsPose,
                            PoseDecode, UniformSampleFrames)
-from .moco_augmentations import (MoCoNormalize, MoCoNormalizeV2,
-                                 MoCoRandomResizedCrop, MoCoResize)
+from .moco_augmentations import (MoCoDecodePlan, MoCoNormalize,
+                                 MoCoNormalizeV2, MoCoRandomResizedCrop,
+                                 MoCoResize)
 from .transforms_motion import (Flow2ImgWithAug, NormFlowV2, NormFlowWithAug,
                                 NormFlowWithAugV2, NormFlowWithStidedAug,
                                 NormFlowWithStidedAugV2, norm_flow)
@@ -25,7 +26,8 @@ __all__ = [
     'LocalDecode', 'OpenCVInit', 'OpenCVDecode', 'ArrayDecode', 'MatchFlow',
     'AlignIndex', 'Seg2T', 'ChosenSampleFrames',
     'TemporalShiftChosenSampleFrames', 'TemporalShiftSampleFrames',
-    'MoCoRandomResizedCrop', 'MoCoResize', 'MoCoNormalize', 'MoCoNormalizeV2',
+    'MoCoDecodePlan', 'MoCoRandomResizedCrop', 'MoCoResize',
+    'MoCoNormalize', 'MoCoNormalizeV2',
     'NormFlowWithStidedAug', 'NormFlowWithStidedAugV2', 'NormFlowWithAug',
     'NormFlowWithAugV2', 'NormFlowV2', 'Flow2ImgWithAug', 'norm_flow',
     'RandomCrop', 'RandomResizedCrop', 'MultiScaleCrop', 'Resize',

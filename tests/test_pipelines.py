@@ -395,3 +395,176 @@ class TestLazyOps:
         from mscl_tpu.datasets.pipelines.augmentations import Fuse
         with pytest.raises(ValueError):
             Fuse()(dict(imgs=self._imgs()))
+
+
+class TestMoCoDecodePlan:
+    """Crop-region-aware reduced decode (MoCoDecodePlan + LocalDecode +
+    MoCoRandomResizedCrop presampled path)."""
+
+    def _write_frames(self, tmp_path, n=16, hw=(64, 96)):
+        import cv2
+        rng = np.random.default_rng(3)
+        paths = []
+        for i in range(n):
+            img = (rng.normal(size=(hw[0] // 8, hw[1] // 8, 3)) * 40 +
+                   128).clip(0, 255).astype(np.uint8)
+            img = cv2.resize(img, (hw[1], hw[0]),
+                             interpolation=cv2.INTER_CUBIC)
+            p = str(tmp_path / f'img_{i:05d}.jpg')
+            cv2.imwrite(p, img)
+            paths.append(p)
+        return paths
+
+    def _results(self, paths):
+        return dict(img_paths=paths,
+                    frame_inds=np.arange(len(paths)),
+                    clip_len=len(paths) // 2, num_clips=2)
+
+    def test_read_image_shape_jpeg_png(self, tmp_path):
+        import cv2
+
+        from mscl_tpu.datasets.pipelines.loading import read_image_shape
+        img = np.random.default_rng(0).integers(
+            0, 256, size=(47, 83, 3)).astype(np.uint8)
+        for ext in ('.jpg', '.png'):
+            p = str(tmp_path / ('x' + ext))
+            cv2.imwrite(p, img)
+            assert read_image_shape(p) == (47, 83)
+        bad = str(tmp_path / 'bad.jpg')
+        with open(bad, 'wb') as f:
+            f.write(b'notanimage')
+        assert read_image_shape(bad) is None
+
+    def test_imread_rgb_direct_bitwise(self, tmp_path):
+        import cv2
+
+        from mscl_tpu.datasets.pipelines.loading import _imread_rgb
+        p = self._write_frames(tmp_path, n=1)[0]
+        ref = cv2.cvtColor(cv2.imread(p, cv2.IMREAD_COLOR),
+                           cv2.COLOR_BGR2RGB)
+        np.testing.assert_array_equal(_imread_rgb(p), ref)
+
+    def test_plan_noreduce_bitwise_equal_to_baseline(self, tmp_path):
+        """With reduce gated off (target too large to ever halve), the
+        planned pipeline must be BITWISE identical to the baseline —
+        same sampler, same crops, full-res decode."""
+        import random
+
+        from mscl_tpu.datasets.pipelines import (LocalDecode,
+                                                 MoCoDecodePlan)
+        paths = self._write_frames(tmp_path)
+        flows = [np.random.default_rng(11).normal(
+            size=(32, 48, 2)).astype(np.float32) for _ in range(16)]
+        crop = MoCoRandomResizedCrop(area_range=(0.2, 1.0),
+                                     flow_key='flow_imgs')
+
+        np.random.seed(5)
+        random.seed(5)
+        base = LocalDecode()(self._results(paths))
+        base['flow_imgs'] = [f.copy() for f in flows]
+        base = crop(base)
+
+        np.random.seed(5)
+        random.seed(5)
+        r = MoCoDecodePlan(target=(64, 96),
+                           area_range=(0.2, 1.0))(self._results(paths))
+        assert r['moco_plan']['reduce_q'] == 1
+        assert r['moco_plan']['reduce_k'] == 1
+        r = LocalDecode()(r)
+        r['flow_imgs'] = [f.copy() for f in flows]
+        r = crop(r)
+
+        for k in ('crop_bbox_q', 'crop_bbox_k'):
+            np.testing.assert_array_equal(r[k], base[k])
+        for k in ('imgs_q', 'imgs_k', 'flow_imgs_q', 'flow_imgs_k'):
+            assert len(r[k]) == len(base[k])
+            for a, b in zip(r[k], base[k]):
+                np.testing.assert_array_equal(a, b)
+
+    def test_plan_reduced_halves_and_flow_exact(self, tmp_path):
+        """Near-full crops + small target force reduce=2 on both halves:
+        imgs decode at half scale (crop dims halve), the flow replay
+        stays bitwise identical to the full-res pipeline, and the final
+        resized output matches the baseline closely."""
+        import random
+
+        from mscl_tpu.datasets.pipelines import (LocalDecode,
+                                                 MoCoDecodePlan)
+        paths = self._write_frames(tmp_path)
+        flows = [np.random.default_rng(11).normal(
+            size=(32, 48, 2)).astype(np.float32) for _ in range(16)]
+        crop = MoCoRandomResizedCrop(area_range=(0.95, 1.0),
+                                     flow_key='flow_imgs')
+        resize = Compose([
+            MoCoResize(scale=(24, 24), keep_ratio=False,
+                       flow_key='flow_imgs', suffix='_q'),
+            MoCoResize(scale=(24, 24), keep_ratio=False,
+                       flow_key='flow_imgs', suffix='_k')])
+
+        np.random.seed(9)
+        random.seed(9)
+        base = LocalDecode()(self._results(paths))
+        base['flow_imgs'] = [f.copy() for f in flows]
+        base = resize(crop(base))
+
+        np.random.seed(9)
+        random.seed(9)
+        r = MoCoDecodePlan(target=(24, 24),
+                           area_range=(0.95, 1.0))(self._results(paths))
+        plan = dict(r['moco_plan'])
+        assert plan['reduce_q'] == 2 and plan['reduce_k'] == 2
+        r = LocalDecode()(r)
+        assert r['img_shape_dec_q'] == (32, 48)
+        r['flow_imgs'] = [f.copy() for f in flows]
+        r = resize(crop(r))
+
+        # same full-res crop boxes were used (plan['crop_q'] == baseline
+        # sample), so the flow replay is bitwise identical
+        l, t, rr, b = plan['crop_q']
+        np.testing.assert_array_equal(base['crop_bbox_q'], [l, t, rr, b])
+        for a, bb in zip(r['flow_imgs'][0], base['flow_imgs'][0]):
+            np.testing.assert_array_equal(a, bb)
+        # imgs: same content through a half-scale decode -> close, not
+        # bitwise; both are (24, 24) crops of the same region
+        for a, bb in zip(r['imgs'][0], base['imgs'][0]):
+            assert a.shape == bb.shape == (24, 24, 3)
+            diff = np.abs(a.astype(np.float32) - bb.astype(np.float32))
+            assert diff.mean() < 12.0
+
+    def test_single_clip_shared_frames_uses_min_factor(self, tmp_path):
+        from mscl_tpu.datasets.pipelines import LocalDecode, MoCoDecodePlan
+        paths = self._write_frames(tmp_path, n=8)
+        r = self._results(paths)
+        r['clip_len'] = 8        # q and k share the one clip
+        r = MoCoDecodePlan(target=(24, 24),
+                           area_range=(0.95, 1.0))(r)
+        r['moco_plan']['reduce_k'] = 1      # force a q/k disagreement
+        r = LocalDecode()(r)
+        # shared frames: reduction only if BOTH halves allow it
+        assert r['imgs'][0].shape[:2] == (64, 96)
+
+    def test_recipe_pipeline_with_plan_builds_and_runs(self, tmp_path):
+        """The full flagship train_pipeline (with MoCoDecodePlan) over
+        real on-disk jpegs + np4 flows produces the recipe shapes."""
+        from mscl_tpu.config import Config
+        from mscl_tpu.utils.np4 import np4_encode
+        cfg = Config.fromfile(
+            'configs/recognition/moco/mscl_r18_cosm_lr2e-2.py')
+        pipeline = Compose([PIPELINES.build(p)
+                            for p in cfg['train_pipeline']])
+        paths = self._write_frames(tmp_path, n=32, hw=(256, 340))
+        rng = np.random.default_rng(0)
+        fpaths = []
+        for i in range(12):
+            p = str(tmp_path / f'flow_{i:05d}.np4')
+            with open(p, 'wb') as f:
+                f.write(np4_encode(rng.normal(size=(128, 170, 2))
+                                   .astype(np.float32)))
+            fpaths.append(p)
+        results = dict(img_paths=paths, flow_paths=fpaths,
+                       chosen_idx=list(range(6)), label=0,
+                       total_frames=32, start_index=0,
+                       filename_tmpl='img_{:05}.jpg', modality='RGB')
+        out = pipeline(results)
+        assert out['imgs'][0].shape == (3, 8, 112, 112)
+        assert out['flow_imgs'][0].shape == (2, 16, 112, 112)
