@@ -157,6 +157,11 @@ class Runner:
         self.best_rule = rule
         self.best_score = None
         self.best_ckpt_path = None
+        # PreciseBNHook wiring (reference apis/train.py:127-139 +
+        # slowfast_prebn configs: precise_bn=dict(num_iters=200,
+        # interval=1)) — refresh BN running stats from train data after
+        # each `interval` epochs, via core/precise_bn.py.
+        self.precise_bn = dict(cfg.get('precise_bn') or {}) or None
 
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
@@ -210,6 +215,13 @@ class Runner:
         while self.epoch < self.total_epochs:
             state = self.train_epoch(state)
             self.epoch += 1
+            if self.precise_bn and self.epoch % self.precise_bn.get(
+                    'interval', 1) == 0:
+                from .precise_bn import precise_bn_update
+                state = precise_bn_update(
+                    self.model, state, self.train_loader,
+                    num_iters=self.precise_bn.get('num_iters', 200),
+                    mesh=self.mesh)
             if self.ckpt_interval and \
                     self.epoch % self.ckpt_interval == 0:
                 save_checkpoint(_state_to_dict(state), self.work_dir,

