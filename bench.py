@@ -97,6 +97,11 @@ def host_loop(args):
         'configs/recognition/moco/mscl_r18_cosm_lr2e-2.py')
     ds_cfg = dict(cfg.data['train'])
     ds_cfg['pkl_path'] = os.path.join(root, 'train.pkl')
+    if args.host_no_plan:
+        # A/B arm: strip the MoCoDecodePlan op so LocalDecode falls back
+        # to full-resolution decode (the pre-round-5 host path)
+        ds_cfg['pipeline'] = [op for op in ds_cfg['pipeline']
+                              if op['type'] != 'MoCoDecodePlan']
     dataset = build_dataset(ds_cfg)
     bs = args.batch_size
 
@@ -224,6 +229,10 @@ def main():
                              'pipeline only, never touch the TPU')
     parser.add_argument('--host-workers', type=int, default=2)
     parser.add_argument('--host-measure-batches', type=int, default=4)
+    parser.add_argument('--host-no-plan', action='store_true',
+                        help='host-loop A/B arm: strip MoCoDecodePlan '
+                             '(full-resolution decode, the pre-round-5 '
+                             'host path)')
     args = parser.parse_args()
     if args.host_loop:
         return host_loop(args)
