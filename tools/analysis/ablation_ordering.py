@@ -432,6 +432,11 @@ def main():
     for s in range(steps):
         state, log_vars = step_fn(
             state, make_batch(rng, data, train_idx, args.arm, batch, T))
+        # Hard per-step sync (device_get, ~28 ms on axon): bounds
+        # in-flight work. Without it a tunnel stall lets the host run
+        # 25 steps ahead, buffering ~180 MB/step of async transfers
+        # (observed: 52 -> 80 GB RSS leak during a round-5 stall).
+        float(log_vars['loss'])
         if s % 25 == 0 or s == steps - 1:
             snap = {k: round(float(v), 4) for k, v in log_vars.items()
                     if k.startswith('loss')}
