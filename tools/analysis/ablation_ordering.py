@@ -273,29 +273,79 @@ def build_arm(arm, scale, T, K, steps, batch, hw, dtype=None):
 
 
 # ---------------------------------------------------------- batching
-def make_batch(rng, data, train_idx, arm, batch, T):
-    """One training batch in the model's NCTHW layout. q/k = temporal-
-    shift positive pair; flow clips track their RGB clips; FRA arms get
-    [base, rotated] concatenated along T (the recipe pipeline layout,
-    reference transforms_motion.py)."""
+def sample_batch_idx(rng, data, train_idx, arm, batch, T):
+    """Draw one batch's (vids, offsets, FRA angles) on the host.
+
+    Consumes `rng` in EXACTLY the order the original monolithic
+    make_batch did (choice, per-video offset pair, branch-0 angle,
+    branch-1 angle), so runs are bit-comparable across batch modes and
+    with the seed-0/1 evidence."""
     mds = arm != 'mscl_nomds'
     vids = rng.choice(train_idx, batch, replace=False)
-    offs = [sample_pair_offsets(rng, data, v, T, mds) for v in vids]
+    offs = np.asarray([sample_pair_offsets(rng, data, v, T, mds)
+                       for v in vids], np.int32)          # (B, 2)
+    angs = None
+    if arm in ('mscl', 'mscl_nomds'):                     # FRA double pass
+        angs = np.asarray([(0.2 + 0.2 * int(rng.integers(0, 8))) * np.pi
+                           for _ in range(2)], np.float32)
+    return vids.astype(np.int32), offs, angs
+
+
+def make_batch(rng, data, train_idx, arm, batch, T):
+    """One training batch in the model's NCTHW layout, materialized on
+    the HOST. q/k = temporal-shift positive pair; flow clips track their
+    RGB clips; FRA arms get [base, rotated] concatenated along T (the
+    recipe pipeline layout, reference transforms_motion.py).
+
+    NOTE: on the axon backend every host->device transfer buffer leaks
+    (~130 MB/step at full scale -> ~52 GB RSS by step 325, observed as
+    `memory allocation of 38535168/51380224 bytes failed` Rust aborts —
+    exactly the f32 rgb/flow batch byte sizes). Training therefore uses
+    assemble_batch_device below; this host path remains for init-shape
+    derivation and the host/device exactness test."""
+    vids, offs, angs = sample_batch_idx(rng, data, train_idx, arm,
+                                        batch, T)
     out = {'imgs': [], 'flow_imgs': []}
     for branch in (0, 1):
-        im = np.stack([data['rgb'][v, o[branch]:o[branch] + T]
-                       for v, o in zip(vids, offs)])
+        im = np.stack([data['rgb'][v, o:o + T]
+                       for v, o in zip(vids, offs[:, branch])])
         out['imgs'].append(np.transpose(im, (0, 4, 1, 2, 3)))
         if arm != 'moco':
-            fl = np.stack([data['flow'][v, o[branch]:o[branch] + T]
-                           for v, o in zip(vids, offs)])
-            if arm in ('mscl', 'mscl_nomds'):   # FRA double pass
-                cid = rng.integers(0, 8)
-                ang = (0.2 + 0.2 * cid) * np.pi
-                fl = np.concatenate([fl, fra_rotate(fl, ang)], axis=1)
+            fl = np.stack([data['flow'][v, o:o + T]
+                           for v, o in zip(vids, offs[:, branch])])
+            if angs is not None:
+                fl = np.concatenate(
+                    [fl, fra_rotate(fl, float(angs[branch]))],
+                    axis=1).astype(np.float32)
             out['flow_imgs'].append(np.transpose(fl, (0, 4, 1, 2, 3)))
     if arm == 'moco':
         del out['flow_imgs']
+    return out
+
+
+def assemble_batch_device(drgb, dflow, vids, offs, angs, arm, T):
+    """Build the same batch as make_batch ON DEVICE from device-resident
+    rgb/flow arrays + per-step index arrays (a few hundred bytes of
+    host->device traffic instead of ~130 MB — sidesteps the axon
+    transfer-buffer leak). Traced inside the jitted train step; the
+    video/frame gather is a standalone HLO gather (bandwidth-bound, not
+    inside an elementwise fusion)."""
+    tt = jnp.arange(T)
+    out = {'imgs': []}
+    if arm != 'moco':
+        out['flow_imgs'] = []
+    for branch in (0, 1):
+        fidx = offs[:, branch, None] + tt                 # (B, T)
+        im = drgb[vids[:, None], fidx]                    # (B,T,H,W,3)
+        out['imgs'].append(jnp.transpose(im, (0, 4, 1, 2, 3)))
+        if arm != 'moco':
+            fl = dflow[vids[:, None], fidx]               # (B,T,H,W,2)
+            if angs is not None:                          # FRA rotate
+                c, s = jnp.cos(angs[branch]), jnp.sin(angs[branch])
+                u, v = fl[..., 0], fl[..., 1]
+                rot = jnp.stack([c * u - s * v, s * u + c * v], axis=-1)
+                fl = jnp.concatenate([fl, rot], axis=1)
+            out['flow_imgs'].append(jnp.transpose(fl, (0, 4, 1, 2, 3)))
     return out
 
 
@@ -424,18 +474,29 @@ def main():
                                   ks=(1,))['R@1'])
     print(f'[{args.arm}] random-init: {init_metrics}', flush=True)
 
-    step_fn = jax.jit(make_train_step(model, tx, build_ema_fn(model)),
-                      donate_argnums=0)
+    raw_step = make_train_step(model, tx, build_ema_fn(model))
+    # Dataset lives on device ONCE (~3.9 GB f32 at full scale); each
+    # step ships only index arrays. Per-step batch transfers leak their
+    # staging buffers in the axon client (see make_batch docstring) —
+    # three 400-step arms died at step ~325 from exactly this.
+    drgb = jax.device_put(data['rgb'])
+    dflow = None if args.arm == 'moco' else jax.device_put(data['flow'])
+
+    @partial(jax.jit, donate_argnums=0)
+    def step_fn(state, vids, offs, angs):
+        b = assemble_batch_device(drgb, dflow, vids, offs, angs,
+                                  args.arm, T)
+        return raw_step(state, b)
+
     track = {}
     import time
     t0 = time.time()
     for s in range(steps):
-        state, log_vars = step_fn(
-            state, make_batch(rng, data, train_idx, args.arm, batch, T))
+        vids, offs, angs = sample_batch_idx(rng, data, train_idx,
+                                            args.arm, batch, T)
+        state, log_vars = step_fn(state, vids, offs, angs)
         # Hard per-step sync (device_get, ~28 ms on axon): bounds
-        # in-flight work. Without it a tunnel stall lets the host run
-        # 25 steps ahead, buffering ~180 MB/step of async transfers
-        # (observed: 52 -> 80 GB RSS leak during a round-5 stall).
+        # in-flight work during tunnel stalls.
         float(log_vars['loss'])
         if s % 25 == 0 or s == steps - 1:
             snap = {k: round(float(v), 4) for k, v in log_vars.items()
