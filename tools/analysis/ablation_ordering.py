@@ -355,20 +355,26 @@ def eval_features(model, state, data, T, arm, chunk=32):
     every video."""
     tower = 'encoder_q' if arm == 'moco' else None
 
+    # Variables are jit ARGUMENTS (not closure captures) for the same
+    # reason as step_fn: captured arrays become program constants and
+    # blow the axon remote-compile body limit at full scale.
     @jax.jit
-    def feats(x):
-        bb = model.bind({'params': state.params,
-                         'batch_stats': state.batch_stats,
-                         'moco_state': state.moco_state})
+    def feats(variables, x):
+        bb = model.bind(variables)
         enc = bb.encoder_q if tower else bb.recognizer_m.encoder_q
         f = enc(x, train=False)
         f = f[-1] if isinstance(f, list) else f
         return f.mean(axis=(1, 2, 3)).astype(jnp.float32)
 
+    variables = {'params': state.params,
+                 'batch_stats': state.batch_stats,
+                 'moco_state': state.moco_state}
+
     def run(offsets):
         clips = np.stack([data['rgb'][i, o:o + T]
                           for i, o in enumerate(offsets)])
-        outs = [np.asarray(feats(jnp.asarray(clips[i:i + chunk])))
+        outs = [np.asarray(feats(variables,
+                                 jnp.asarray(clips[i:i + chunk])))
                 for i in range(0, len(clips), chunk)]
         return np.concatenate(outs)
 
@@ -475,15 +481,21 @@ def main():
     print(f'[{args.arm}] random-init: {init_metrics}', flush=True)
 
     raw_step = make_train_step(model, tx, build_ema_fn(model))
-    # Dataset lives on device ONCE (~3.9 GB f32 at full scale); each
+    # Dataset lives on device ONCE (~385 MB f32 at full scale); each
     # step ships only index arrays. Per-step batch transfers leak their
     # staging buffers in the axon client (see make_batch docstring) —
     # three 400-step arms died at step ~325 from exactly this.
+    # The dataset MUST be a jit ARGUMENT, not a closure capture: jit
+    # bakes captured arrays into the lowered program as constants, and
+    # on the axon remote-compile backend the serialized payload then
+    # ships the whole dataset — rgb+flow arms die with HTTP 413
+    # "request body length limit exceeded" (observed seed-2 campaign;
+    # rgb-only moco squeaked under the limit).
     drgb = jax.device_put(data['rgb'])
     dflow = None if args.arm == 'moco' else jax.device_put(data['flow'])
 
     @partial(jax.jit, donate_argnums=0)
-    def step_fn(state, vids, offs, angs):
+    def step_fn(state, drgb, dflow, vids, offs, angs):
         b = assemble_batch_device(drgb, dflow, vids, offs, angs,
                                   args.arm, T)
         return raw_step(state, b)
@@ -494,7 +506,7 @@ def main():
     for s in range(steps):
         vids, offs, angs = sample_batch_idx(rng, data, train_idx,
                                             args.arm, batch, T)
-        state, log_vars = step_fn(state, vids, offs, angs)
+        state, log_vars = step_fn(state, drgb, dflow, vids, offs, angs)
         # Hard per-step sync (device_get, ~28 ms on axon): bounds
         # in-flight work during tunnel stalls.
         float(log_vars['loss'])
